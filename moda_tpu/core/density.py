@@ -1,0 +1,45 @@
+"""SDF -> density -> alpha compositing, pure JAX.
+
+Functional equivalent of the VolSDF-style transform and volume rendering in
+rendering.py:182-237:
+
+  sdf   = -mlp_sigma_output
+  sigma = ib * (0.5 + 0.5*sign(sdf)*expm1(-|sdf|*ib)),  ib = 1/|beta|
+  alpha = 1 - exp(-delta * sigma)
+  w_i   = alpha_i * prod_{j<i}(1 - alpha_j)
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sdf_to_sigma(raw_sigma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """raw_sigma: MLP output (the reference treats sdf = -raw). beta: scalar."""
+    ibeta = 1.0 / (jnp.abs(beta) + eps)
+    sdf = -raw_sigma
+    sigma = 0.5 + 0.5 * jnp.sign(sdf) * jnp.expm1(-jnp.abs(sdf) * ibeta)
+    return sigma * ibeta
+
+
+def ray_deltas(z_vals: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Distances between consecutive samples, scaled by |dir| (rendering.py:183-191).
+
+    z_vals [N, S]; dirs [N, 3] (unnormalized) -> [N, S].
+    """
+    deltas = z_vals[:, 1:] - z_vals[:, :-1]
+    delta_inf = 1e10 * jnp.ones_like(deltas[:, :1])
+    deltas = jnp.concatenate([deltas, delta_inf], -1)
+    return deltas * jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+
+def compositing_weights(sigmas: jnp.ndarray, deltas: jnp.ndarray):
+    """alphas/weights/visibility from density (rendering.py:207-224).
+
+    Returns (alphas [N,S], weights [N,S], visibility [N,S]).
+    visibility = prod_{j<i}(1-alpha_j) (stop-gradient applied by caller).
+    """
+    alphas = 1.0 - jnp.exp(-deltas * sigmas)
+    shifted = jnp.concatenate([jnp.ones_like(alphas[:, :1]), 1.0 - alphas + 1e-10], -1)
+    alpha_prod = jnp.cumprod(shifted, -1)[:, :-1]
+    weights = alphas * alpha_prod
+    return alphas, weights, alpha_prod

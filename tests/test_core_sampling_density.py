@@ -1,0 +1,75 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from moda_tpu.core import sampling as S
+from moda_tpu.core import density as D
+
+
+def test_stratified_zvals_bounds():
+    near = jnp.full((4, 1), 1.0)
+    far = jnp.full((4, 1), 5.0)
+    z = np.asarray(S.stratified_zvals(near, far, 16, None, perturb=0.0))
+    assert z.shape == (4, 16)
+    np.testing.assert_allclose(z[:, 0], 1.0)
+    np.testing.assert_allclose(z[:, -1], 5.0)
+    assert (np.diff(z, axis=-1) > 0).all()
+
+    zp = np.asarray(S.stratified_zvals(near, far, 16, jax.random.key(0), perturb=1.0))
+    assert (zp >= 1.0 - 1e-5).all() and (zp <= 5.0 + 1e-5).all()
+    assert (np.diff(zp, axis=-1) > 0).all()
+
+
+def test_sample_pdf_uniform_weights_gives_uniform():
+    n_rays, n_bins = 3, 15
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_bins + 1), (n_rays, n_bins + 1))
+    weights = jnp.ones((n_rays, n_bins))
+    out = np.asarray(S.sample_pdf(bins, weights, 32, None, det=True))
+    # deterministic + uniform weights -> approximately evenly spaced in [0,1]
+    assert out.shape == (n_rays, 32)
+    assert (np.diff(out, axis=-1) >= -1e-6).all()
+    np.testing.assert_allclose(out[:, 0], 0.0, atol=0.05)
+    np.testing.assert_allclose(out[:, -1], 1.0, atol=0.05)
+
+
+def test_sample_pdf_concentrates_on_peak():
+    n_rays, n_bins = 2, 20
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_bins + 1), (n_rays, n_bins + 1))
+    w = np.full((n_rays, n_bins), 1e-4, np.float32)
+    w[:, 10] = 100.0  # peak near bin 10 -> z ~ 0.5
+    out = np.asarray(S.sample_pdf(bins, jnp.asarray(w), 64, jax.random.key(1), det=False))
+    frac_near_peak = ((out > 0.45) & (out < 0.60)).mean()
+    assert frac_near_peak > 0.9
+
+
+def test_sdf_to_sigma_monotone_and_midpoint():
+    beta = jnp.asarray(0.1)
+    raw = jnp.linspace(-5, 5, 101)  # raw = -sdf
+    sigma = np.asarray(D.sdf_to_sigma(raw, beta))
+    assert (np.diff(sigma) >= -1e-6).all()  # sigma increases with raw (=inside)
+    # at sdf==0, sigma = 0.5 * ibeta
+    mid = np.asarray(D.sdf_to_sigma(jnp.asarray(0.0), beta))
+    np.testing.assert_allclose(mid, 0.5 / 0.1, rtol=1e-5)
+
+
+def test_compositing_weights_opaque_surface():
+    """A single huge-density sample gets all the weight."""
+    sigmas = np.zeros((1, 10), np.float32)
+    sigmas[0, 4] = 1e5
+    z = jnp.broadcast_to(jnp.linspace(1.0, 2.0, 10), (1, 10))
+    deltas = D.ray_deltas(z, jnp.asarray([[0.0, 0.0, 1.0]]))
+    alphas, weights, vis = D.compositing_weights(jnp.asarray(sigmas), deltas)
+    w = np.asarray(weights)
+    assert w[0, 4] > 0.99
+    assert w[0, :4].sum() < 1e-3
+    # visibility drops to ~0 after the surface
+    assert np.asarray(vis)[0, 5] < 1e-3
+
+
+def test_compositing_weights_sum_le_one(rng):
+    sigmas = jnp.asarray(np.abs(rng.normal(size=(6, 32))).astype(np.float32))
+    z = jnp.broadcast_to(jnp.linspace(1.0, 2.0, 32), (6, 32))
+    deltas = D.ray_deltas(z, jnp.ones((6, 3)))
+    _, weights, _ = D.compositing_weights(sigmas, deltas)
+    total = np.asarray(weights).sum(-1)
+    assert (total <= 1.0 + 1e-4).all()
