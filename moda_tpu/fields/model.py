@@ -1,0 +1,276 @@
+"""Model assembly: builds the full network zoo and owns the param pytree.
+
+This replaces the reference's mutable ``moda(nn.Module)`` construction
+(moda.py:179-476) with a functional design:
+
+- ``MoDAModel`` holds *static* module definitions + config;
+- ``init(key)`` returns ``(params, mvars)``:
+    * ``params``: dict[str, pytree] — one entry per optimizer group
+      (mirrors the 22 param groups of train_utils.py:148-291);
+    * ``mvars``:  non-optimized device state (near_far, embedding alpha,
+      obj_bound, vis stats) — the reference keeps these as nn.Parameters
+      it never optimizes, plus host numpy state.
+- apply methods are pure functions of (params, inputs).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moda_tpu.config import DataInfo, MoDAConfig
+from moda_tpu.core import skinning as SK
+from moda_tpu.core.embedding import embed_dim, positional_embed
+from moda_tpu.fields import nets
+
+Params = Dict[str, Any]
+
+NUM_FREQS = 10
+IN_XYZ = embed_dim(3, NUM_FREQS)  # 63
+IN_DIR = embed_dim(3, 4)  # 27
+ENV_DIM = 64
+APP_DIM = 128
+VID_DIM = 32
+NUM_FEAT = 16
+
+
+@dataclass
+class ModelVars:
+    """Non-optimized device-side state (a pytree)."""
+
+    near_far: jnp.ndarray  # [num_fr, 2]
+    alpha: jnp.ndarray  # scalar embedding window
+    obj_bound: jnp.ndarray  # [3]
+    vis_min: jnp.ndarray  # [3]
+    vis_len: jnp.ndarray  # [3]
+    beta_is_active: jnp.ndarray  # scalar bool surrogate (unused placeholder)
+
+
+jax.tree_util.register_dataclass(
+    ModelVars,
+    data_fields=["near_far", "alpha", "obj_bound", "vis_min", "vis_len", "beta_is_active"],
+    meta_fields=[],
+)
+
+
+class MoDAModel:
+    def __init__(self, cfg: MoDAConfig, data_info: DataInfo):
+        self.cfg = cfg
+        self.data_info = data_info
+        self.num_fr = data_info.num_fr
+        self.num_vid = data_info.num_vid
+        self.max_ts = data_info.max_ts
+        self.offset = tuple(int(o) for o in data_info.offset)
+
+        dir_extra = (ENV_DIM if cfg.env_code else 0) + (APP_DIM if cfg.appearance_code else 0)
+        self.nerf_coarse = nets.NeRFMLP(
+            D=8, W=256, in_channels_xyz=IN_XYZ, in_channels_dir=IN_DIR + dir_extra,
+            out_channels=3, raw_feat=False,
+        )
+        self.nerf_feat = nets.NeRFMLP(
+            D=5, W=128, in_channels_xyz=IN_XYZ, in_channels_dir=0,
+            out_channels=NUM_FEAT, raw_feat=True,
+        )
+        self.nerf_vis = nets.NeRFMLP(
+            D=5, W=64, in_channels_xyz=IN_XYZ, in_channels_dir=0,
+            out_channels=1, raw_feat=True,
+        )
+        self.nerf_unc = nets.NeRFMLP(
+            D=8, W=256, in_channels_xyz=IN_XYZ, in_channels_dir=VID_DIM,
+            out_channels=1, raw_feat=True,
+        )
+        self.nerf_skin = nets.NeRFMLP(
+            D=5, W=64, in_channels_xyz=IN_XYZ + cfg.t_embed_dim, in_channels_dir=0,
+            out_channels=cfg.num_bones, raw_feat=True,
+        )
+        self.nerf_dis = nets.NeRFMLP(
+            D=5, W=128, in_channels_xyz=IN_XYZ + cfg.t_embed_dim, in_channels_dir=0,
+            out_channels=3, raw_feat=True,
+        )
+        # 3D flow fields (flowbw mode, moda.py:285-299)
+        self.nerf_flowbw = nets.Transhead(in_channels_xyz=IN_XYZ + cfg.t_embed_dim)
+        self.nerf_flowfw = nets.Transhead(in_channels_xyz=IN_XYZ + cfg.t_embed_dim)
+
+        self.pose_code = nets.FrameCode(
+            num_freq=NUM_FREQS, embedding_dim=cfg.t_embed_dim, vid_offset=self.offset
+        )
+        self.env_code_net = nets.FrameCode(
+            num_freq=NUM_FREQS, embedding_dim=ENV_DIM, vid_offset=self.offset
+        )
+        self.appearance_code_net = nets.FrameCode(
+            num_freq=NUM_FREQS, embedding_dim=APP_DIM, vid_offset=self.offset
+        )
+        self.rest_pose_code = nets.EmbedCode(num=1, dim=cfg.t_embed_dim)
+        self.vid_code = nets.EmbedCode(num=self.num_vid, dim=VID_DIM)
+
+        if cfg.neudbs:
+            self.body_head = nets.DQRTHead(num_bodies=cfg.num_bones, in_channels=cfg.t_embed_dim)
+        else:
+            self.body_head = nets.RTHead(
+                num_bodies=cfg.num_bones, use_quat=False, in_channels=cfg.t_embed_dim
+            )
+        self.root_rts_net = nets.RTExpMLP(
+            max_t=self.num_fr, num_freqs=NUM_FREQS, t_embed_dim=cfg.t_embed_dim,
+            vid_offset=self.offset, delta=cfg.use_cam,
+        )
+
+        # scale bookkeeping (moda.py:232-247): near/far starts at [0, 6],
+        # obj_scale normalizes the scene to bound ~0.3
+        near_far0 = np.zeros((self.num_fr, 2), np.float32)
+        near_far0[:, 1] = 6.0
+        self.obj_scale = float((near_far0[:, 1] - near_far0[:, 0]).mean() / 2.0) / 0.3
+        self.near_far_init = near_far0 / self.obj_scale
+
+    # ------------------------------------------------------------------ init
+    def init(self, key: jax.Array) -> Tuple[Params, ModelVars]:
+        cfg = self.cfg
+        keys = iter(jax.random.split(key, 24))
+        fid = jnp.zeros((2,), jnp.int32)
+        xyz_e = jnp.zeros((2, IN_XYZ))
+        dir_extra = (ENV_DIM if cfg.env_code else 0) + (APP_DIM if cfg.appearance_code else 0)
+
+        params: Params = {}
+        params["nerf_coarse"] = self.nerf_coarse.init(
+            next(keys), jnp.zeros((2, IN_XYZ + IN_DIR + dir_extra))
+        )["params"]
+        params["nerf_beta"] = jnp.asarray([cfg.init_beta], jnp.float32)
+
+        if cfg.use_embed:
+            params["nerf_feat"] = self.nerf_feat.init(next(keys), xyz_e)["params"]
+            params["nerf_beta_feat"] = jnp.asarray([1.0], jnp.float32)
+        if cfg.nerf_vis:
+            params["nerf_vis"] = self.nerf_vis.init(next(keys), xyz_e)["params"]
+        if cfg.use_unc:
+            params["nerf_unc"] = self.nerf_unc.init(
+                next(keys), jnp.zeros((2, IN_XYZ + VID_DIM))
+            )["params"]
+            params["vid_code"] = self.vid_code.init(next(keys), fid)["params"]
+
+        if cfg.flowbw:
+            params["nerf_flowbw"] = self.nerf_flowbw.init(
+                next(keys), jnp.zeros((2, IN_XYZ + cfg.t_embed_dim))
+            )["params"]
+            params["nerf_flowfw"] = self.nerf_flowfw.init(
+                next(keys), jnp.zeros((2, IN_XYZ + cfg.t_embed_dim))
+            )["params"]
+            params["pose_code"] = self.pose_code.init(next(keys), fid)["params"]
+        elif cfg.lbs or cfg.neudbs:
+            params["bones"] = SK.generate_bones(cfg.num_bones, cfg.num_bones, 0.0)
+            params["skin_aux"] = jnp.asarray([0.0, self.obj_scale], jnp.float32)
+            params["pose_code"] = self.pose_code.init(next(keys), fid)["params"]
+            params["nerf_body_rts"] = self.body_head.init(
+                next(keys), jnp.zeros((2, cfg.t_embed_dim))
+            )["params"]
+            if cfg.nerf_skin:
+                params["nerf_skin"] = self.nerf_skin.init(
+                    next(keys), jnp.zeros((2, IN_XYZ + cfg.t_embed_dim))
+                )["params"]
+                params["rest_pose_code"] = self.rest_pose_code.init(next(keys), fid)["params"]
+            if cfg.nerf_dis:
+                params["nerf_dis"] = self.nerf_dis.init(
+                    next(keys), jnp.zeros((2, IN_XYZ + cfg.t_embed_dim))
+                )["params"]
+
+        if cfg.env_code:
+            params["env_code"] = self.env_code_net.init(next(keys), fid)["params"]
+        if cfg.appearance_code:
+            params["appearance_code"] = self.appearance_code_net.init(next(keys), fid)["params"]
+        if cfg.root_opt:
+            params["nerf_root_rts"] = self.root_rts_net.init(next(keys), fid)["params"]
+        if cfg.ks_opt:
+            params["ks_param"] = jnp.asarray(self.data_info.intrinsics, jnp.float32)
+
+        bound = float((self.near_far_init[:, 1] - self.near_far_init[:, 0]).mean() / 2.0)
+        mvars = ModelVars(
+            near_far=jnp.asarray(self.near_far_init),
+            alpha=jnp.asarray(float(cfg.alpha)),
+            obj_bound=jnp.full((3,), bound, jnp.float32),
+            vis_min=jnp.zeros((3,), jnp.float32),
+            vis_len=jnp.full((3,), bound / 2.0, jnp.float32),
+            beta_is_active=jnp.asarray(0.0),
+        )
+        return params, mvars
+
+    # -------------------------------------------------------------- applies
+    def embed_xyz(self, xyz: jnp.ndarray, alpha=None) -> jnp.ndarray:
+        return positional_embed(xyz, NUM_FREQS, alpha=alpha)
+
+    def embed_dir(self, d: jnp.ndarray, alpha=None) -> jnp.ndarray:
+        return positional_embed(d, 4, alpha=alpha)
+
+    def apply_coarse(self, params: Params, x: jnp.ndarray, sigma_only: bool = False):
+        return self.nerf_coarse.apply({"params": params["nerf_coarse"]}, x, sigma_only=sigma_only)
+
+    def apply_feat(self, params: Params, xyz_e: jnp.ndarray):
+        return self.nerf_feat.apply({"params": params["nerf_feat"]}, xyz_e)
+
+    def apply_vis(self, params: Params, xyz_e: jnp.ndarray):
+        return self.nerf_vis.apply({"params": params["nerf_vis"]}, xyz_e)
+
+    def apply_unc(self, params: Params, xyt_code: jnp.ndarray):
+        return self.nerf_unc.apply({"params": params["nerf_unc"]}, xyt_code)
+
+    def apply_skin(self, params: Params, x: jnp.ndarray):
+        return self.nerf_skin.apply({"params": params["nerf_skin"]}, x)
+
+    def apply_dis(self, params: Params, x: jnp.ndarray):
+        return self.nerf_dis.apply({"params": params["nerf_dis"]}, x)
+
+    def apply_pose_code(self, params: Params, fid: jnp.ndarray):
+        return self.pose_code.apply({"params": params["pose_code"]}, fid)
+
+    def apply_env_code(self, params: Params, fid: jnp.ndarray):
+        return self.env_code_net.apply({"params": params["env_code"]}, fid)
+
+    def apply_appearance_code(self, params: Params, fid: jnp.ndarray):
+        return self.appearance_code_net.apply({"params": params["appearance_code"]}, fid)
+
+    def apply_vid_code(self, params: Params, vid: jnp.ndarray):
+        return self.vid_code.apply({"params": params["vid_code"]}, vid)
+
+    def apply_rest_pose_code(self, params: Params, idx: jnp.ndarray):
+        return self.rest_pose_code.apply({"params": params["rest_pose_code"]}, idx)
+
+    def body_rts(self, params: Params, fid: jnp.ndarray) -> jnp.ndarray:
+        """frame ids [N] -> bone transforms [N, B, 8] (neudbs) or [N, B, 12]."""
+        code = self.apply_pose_code(params, fid)
+        return self.body_head.apply({"params": params["nerf_body_rts"]}, code)
+
+    def body_rts_rest(self, params: Params) -> jnp.ndarray:
+        """Rest-pose bone transforms Jb* [1, B, 8/12] (correct_bones input)."""
+        code = self.apply_rest_pose_code(params, jnp.zeros((1,), jnp.int32))
+        return self.body_head.apply({"params": params["nerf_body_rts"]}, code)
+
+    def root_rts(self, params: Params, fid: jnp.ndarray) -> jnp.ndarray:
+        """frame ids [N] -> root delta SE3 [N, 1, 12]."""
+        return self.root_rts_net.apply({"params": params["nerf_root_rts"]}, fid)
+
+    def compute_rts(self, params: Params, base_rt: jnp.ndarray | None = None) -> jnp.ndarray:
+        """Root poses for ALL frames [num_fr, 3, 4] (moda.py:1468-1495).
+
+        base_rt: optional [num_fr, 3, 4] prior cameras (use_cam path,
+        already divided by obj_scale); None -> canonical base (z=0.3).
+        """
+        fid = jnp.arange(self.num_fr)
+        if base_rt is None:
+            base_rt = create_base_se3(self.num_fr)
+        rt = base_rt
+        if self.cfg.root_opt:
+            delta = self.root_rts(params, fid)
+            rmat_d = delta[:, 0, :9].reshape(-1, 3, 3)
+            tmat_d = delta[:, 0, 9:12]
+            tmat = rt[:, :3, 3] + (rt[:, :3, :3] @ tmat_d[..., None])[..., 0]
+            rmat = rt[:, :3, :3] @ rmat_d
+            rt = jnp.concatenate([rmat, tmat[..., None]], -1)
+        return rt
+
+
+def create_base_se3(bs: int) -> jnp.ndarray:
+    """Canonical base camera: identity R, T=(0,0,0.3) (moda.py:1024-1033)."""
+    rt = jnp.zeros((bs, 3, 4))
+    rt = rt.at[:, :3, :3].set(jnp.eye(3))
+    rt = rt.at[:, 2, 3].set(0.3)
+    return rt
