@@ -1,0 +1,173 @@
+"""Datasets + batcher: frame-pair sampling with fixed-shape device batches.
+
+Host-side redesign of utils/io.py:277-518 (config_to_dataloader /
+VidDataset / LineDataset) + dataloader/frameloader.py. Key differences:
+
+- No torch DataLoader: a numpy sampler + thread prefetcher produce
+  ready-to-ship [2B, C, P] arrays (reference pixel layout flattened) so the
+  device step does a single gather per ray.
+- Distributed sharding is a keyed slice per jax process
+  (DistributedSampler equivalent, frameloader.py:40-45).
+- The per-line shard format of preprocess/img2lines.py is replaced by the
+  same frame reader with line cropping — lines are rows of the cropped
+  frame, so no separate on-disk shard step is required (the ``Pixels/``
+  directory is still read if present, for drop-in compat).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from moda_tpu.config import SeqData, load_seq_config
+from moda_tpu.data.frames import FramePaths, FrameReader
+
+DFRAME_CANDIDATES = [2, 4, 8, 16, 32]
+
+
+@dataclass
+class VideoDataset:
+    """One video: frame pair access (vidbase.load_data equivalent)."""
+
+    reader: FrameReader
+    dataid: int
+    num_frames: int
+
+    def sample_pair(self, rng: np.random.Generator, idx: Optional[int] = None) -> Dict[str, np.ndarray]:
+        max_id = self.num_frames - 1
+        if idx is None:
+            idx = int(rng.integers(0, max_id))
+        fw = bool(rng.integers(0, 2)) if idx > 0 and idx < max_id else (idx < max_id)
+        dir_fac = 1 if fw else -1
+        cands = [1] + [d for d in DFRAME_CANDIDATES
+                       if idx % d == 0 and 0 <= idx + d * dir_fac <= max_id]
+        dframe = int(rng.choice(cands))
+        i0 = idx
+        i1 = idx + dframe * dir_fac
+
+        d0 = self.reader.read_raw(i0, flowfw=fw, dframe=dframe)
+        d1 = self.reader.read_raw(i1, flowfw=not fw, dframe=dframe)
+        flow, flown, occ, occn = self.reader.flow_process(d0, d1)
+
+        def pack(d, fl, oc):
+            S = self.reader.img_size
+            return {
+                "imgs": d["img"].reshape(-1, 3).T,         # [3, P]
+                "masks": (d["mask"] * d["vis2d"] > 0).astype(np.float32).reshape(1, -1),
+                "vis2d": d["vis2d"].reshape(1, -1).astype(np.float32),
+                "flow": fl.reshape(-1, 2).T,
+                "occ": oc.reshape(1, -1),
+                "dp_feats": d["dp_feat_rsmp"].reshape(16, -1),
+                "dps": d["dp"].reshape(1, -1),
+                "rtk": d["rtk"].astype(np.float32),
+                "kaug": d["kaug"].astype(np.float32),
+            }
+
+        return {
+            "frames": (pack(d0, flow, occ), pack(d1, flown, occn)),
+            "frameid": np.asarray([i0, i1], np.int32),
+            "dataid": np.asarray([self.dataid, self.dataid], np.int32),
+        }
+
+
+def build_datasets(seqname: str, img_size: int, config_dir: str = "configs",
+                   rtk_base: Optional[str] = None) -> List[VideoDataset]:
+    """Parse configs/<seqname>.config into per-video datasets."""
+    seqs = load_seq_config(seqname, config_dir)
+    out = []
+    for i, s in enumerate(seqs):
+        imgs = s.image_list()
+        rtk_path = rtk_base + "/" + imgs[0].split("/")[-2] if rtk_base else s.rtk_path
+        paths = FramePaths.from_imglist(imgs, rtk_path)
+        reader = FrameReader(paths, img_size, s.flip)
+        out.append(VideoDataset(reader=reader, dataid=i, num_frames=len(imgs)))
+    return out
+
+
+def data_offsets(datasets: List[VideoDataset]) -> tuple:
+    """Cumulative frame offsets per video (extract_data_info equivalent,
+    utils/io.py:537-548)."""
+    off = [0]
+    for d in datasets:
+        off.append(off[-1] + d.num_frames)
+    return tuple(off)
+
+
+def collate_pairs(pairs: List[Dict], offsets) -> Dict[str, np.ndarray]:
+    """B pair dicts -> one [2B, ...] frame batch, reference ordering:
+    first all reference frames, then all paired frames (moda.py:1362-1417).
+    frameid is made absolute via the video offsets."""
+    B = len(pairs)
+    keys = pairs[0]["frames"][0].keys()
+    batch = {}
+    for k in keys:
+        a = np.stack([p["frames"][0][k] for p in pairs])
+        b = np.stack([p["frames"][1][k] for p in pairs])
+        batch[k] = np.concatenate([a, b], 0)
+    fid = np.concatenate([
+        np.stack([p["frameid"][0] for p in pairs]),
+        np.stack([p["frameid"][1] for p in pairs]),
+    ])
+    did = np.concatenate([
+        np.stack([p["dataid"][0] for p in pairs]),
+        np.stack([p["dataid"][1] for p in pairs]),
+    ])
+    offsets = np.asarray(offsets)
+    batch["frameid_sub"] = fid.astype(np.int32)
+    batch["frameid"] = (fid + offsets[did]).astype(np.int32)
+    batch["dataid"] = did.astype(np.int32)
+    return batch
+
+
+class PairLoader:
+    """Random pair batches with thread prefetch; per-process sharding by
+    disjoint RNG streams (replaces DistributedSampler)."""
+
+    def __init__(self, datasets: List[VideoDataset], batch_size: int,
+                 seed: int = 0, process_index: int = 0, num_prefetch: int = 4,
+                 num_threads: int = 4):
+        self.datasets = datasets
+        self.offsets = data_offsets(datasets)
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed * 1000 + process_index)
+        self.q: queue.Queue = queue.Queue(maxsize=num_prefetch)
+        self._stop = threading.Event()
+        self.threads = [
+            threading.Thread(target=self._worker, daemon=True) for _ in range(num_threads)
+        ]
+        self._lock = threading.Lock()
+        for t in self.threads:
+            t.start()
+
+    def _sample_batch(self) -> Dict[str, np.ndarray]:
+        with self._lock:
+            picks = [int(self.rng.integers(0, len(self.datasets)))
+                     for _ in range(self.batch_size)]
+            seeds = self.rng.integers(0, 2**31, size=self.batch_size)
+        pairs = []
+        for ds_idx, s in zip(picks, seeds):
+            pairs.append(self.datasets[ds_idx].sample_pair(np.random.default_rng(int(s))))
+        return collate_pairs(pairs, self.offsets)
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                self.q.put(self._sample_batch(), timeout=1.0)
+            except queue.Full:
+                continue
+            except Exception:
+                if self._stop.is_set():
+                    return
+                raise
+
+    def __next__(self):
+        return self.q.get()
+
+    def __iter__(self):
+        return self
+
+    def close(self):
+        self._stop.set()

@@ -1,0 +1,143 @@
+"""The jitted training step: forward render -> losses -> grads -> update.
+
+One XLA program per (static-config) phase; equivalent to the reference's
+train_one_epoch inner loop (train_utils.py:923-992) with clip_grad
+(1154-1311), the silhouette outlier filter (moda.py:522-538 +
+loss_utils.py:432-476, re-expressed as an in-graph segment reduction), and
+root-pose composition (moda.py:1419-1495).
+
+Static switches that change the traced program (use_fine, use_dskin,
+use_bones, config flags) recompile at stage boundaries only — a handful of
+compilations per training run.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from moda_tpu.fields.model import MoDAModel, ModelVars, create_base_se3
+from moda_tpu.render import losses as L
+from moda_tpu.render import rays as RB
+from moda_tpu.render.pipeline import render_rays
+from moda_tpu.train.optim import (MoDAOptimizer, OptState, apply_freeze_masks,
+                                  clip_by_group, reject_nonfinite)
+
+
+def batch_rtk(model: MoDAModel, params, rtk_all3: jnp.ndarray, batch) -> jnp.ndarray:
+    """Compose per-batch rtk [2B,4,4] from all-frame root poses + intrinsics
+    (convert_root_pose, moda.py:1419-1447)."""
+    rt = rtk_all3[batch["frameid"]]
+    ks = params["ks_param"][batch["dataid"]]
+    rtk = jnp.zeros((rt.shape[0], 4, 4), rt.dtype)
+    rtk = rtk.at[:, :3, :4].set(rt)
+    rtk = rtk.at[:, 3, :].set(ks)
+    return rtk
+
+
+def sil_loss_filter(sil_loss_samp, frameid, num_fr, sil_err_median, progress, warmup_steps,
+                    scale_factor=10.0):
+    """Frame-level outlier rejection (loss_utils.py:432-476) in-graph.
+
+    Per-frame mean sil error this step vs. host-provided running median.
+    Returns (keep_mask [R,1], frame_err [num_fr], frame_cnt [num_fr])."""
+    err = sil_loss_samp[..., 0]
+    sums = jax.ops.segment_sum(err, frameid, num_segments=num_fr)
+    cnts = jax.ops.segment_sum((err > 0).astype(err.dtype), frameid, num_segments=num_fr)
+    frame_err = sums / jnp.maximum(cnts, 1e-9)
+    bad_frame = frame_err > sil_err_median * scale_factor
+    ray_bad = bad_frame[frameid]
+    active = progress > warmup_steps
+    keep = jnp.where(active & ray_bad, 0.0, 1.0)[..., None]
+    return keep, frame_err, cnts
+
+
+class StepExtras(NamedTuple):
+    """Per-step dynamic scalars/arrays prepared by the trainer (host)."""
+
+    progress: jnp.ndarray          # scalar [0,1]
+    loss_select: jnp.ndarray       # 0/1
+    root_update: jnp.ndarray       # 1=update
+    body_update: jnp.ndarray
+    shape_update: jnp.ndarray      # 1=freeze
+    cvf_update: jnp.ndarray
+    sil_err_median: jnp.ndarray    # running median of frame sil errs
+    shape_samp: jnp.ndarray        # [S,3] canonical surface samples
+    shape_samp_valid: jnp.ndarray  # {0,1}
+    embed_alpha: jnp.ndarray       # scalar frequency window
+
+
+def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
+                    nsample: int, ndepth: int, use_fine: bool, use_dskin: bool,
+                    use_bones: bool, donate: bool = True):
+    cfg = model.cfg
+
+    def loss_fn(params, mvars: ModelVars, batch, extras: StepExtras, key):
+        k_rays, k_render, k_loss = jax.random.split(key, 3)
+        rtk_all3 = model.compute_rts(params)
+        rtk = batch_rtk(model, params, rtk_all3, batch)
+        rays = RB.build_rays(model, params, mvars, batch, rtk, k_rays, nsample,
+                             embed_alpha=extras.embed_alpha)
+        if not use_bones:
+            # warmup epochs train without the deformation model
+            # (train_utils.py:637-641)
+            for k in ("bone_rts", "bone_rts_target", "bones_rst", "rest_pose_code"):
+                rays.pop(k, None)
+        rendered = render_rays(model, params, mvars, rays, k_render, ndepth,
+                               use_fine=use_fine, use_dskin=use_dskin)
+
+        keep = jnp.ones_like(rendered["sil_loss_samp"])
+        frame_err = jnp.zeros((model.num_fr,))
+        frame_cnt = jnp.zeros((model.num_fr,))
+        if cfg.loss_flt:
+            keep, frame_err, frame_cnt = sil_loss_filter(
+                rendered["sil_loss_samp"] * cfg.sil_wt, rays["frameid"],
+                model.num_fr, extras.sil_err_median, extras.progress, cfg.warmup_steps)
+
+        loss_extras = {
+            "loss_select": extras.loss_select,
+            "invalid_mask": keep,
+            "shape_samp": extras.shape_samp,
+            "shape_samp_valid": extras.shape_samp_valid,
+            "progress": extras.progress,
+        }
+        rtk_all = jnp.zeros((model.num_fr, 4, 4)).at[:, :3].set(rtk_all3)
+        total, aux = L.total_loss(model, params, mvars, rendered, rays, rtk_all,
+                                  loss_extras, k_loss)
+        host_out = {
+            "rtk": rtk,
+            "frame_err": frame_err,
+            "frame_cnt": frame_cnt,
+        }
+        return total, (aux, host_out)
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def train_step(params, opt_state: OptState, mvars: ModelVars, batch,
+                   extras: StepExtras, key):
+        (total, (aux, host_out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mvars, batch, extras, key)
+
+        grads, finite = reject_nonfinite(grads)
+        indicators = {
+            "root_update": extras.root_update,
+            "body_update": extras.body_update,
+            "shape_update": extras.shape_update,
+            "cvf_update": extras.cvf_update,
+        }
+        grads = apply_freeze_masks(grads, indicators, cfg)
+        grads, norms = clip_by_group(grads, cfg.clip_scale)
+
+        new_params, new_opt_state = optimizer.update(grads, opt_state, params)
+        # reject the whole update on non-finite grads (reference zeroes grads;
+        # we keep old params to also protect adam moments)
+        f = finite
+        new_params = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(f, n, o), new_params, params)
+        aux.update(norms)
+        aux["grad_finite"] = finite.astype(jnp.float32)
+        aux["lr"] = optimizer.sched(opt_state.count)
+        return new_params, new_opt_state, aux, host_out
+
+    return train_step

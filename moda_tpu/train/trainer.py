@@ -1,0 +1,426 @@
+"""Trainer: the full optimization schedule around the jitted step.
+
+Functional re-design of nnutils/train_utils.py:64-1543 (v2s_trainer):
+epoch loop with per-epoch mesh extraction + hyperparameter resets, shape /
+root warmups, k-means bone re-initialization, silhouette-outlier history,
+near-far plane management, checkpointing and explosion rollback.
+
+Device work (forward+backward+update, mesh grid query, k-means) is jitted;
+the host keeps only small numpy state (``latest_vars``) and the schedule.
+Data parallelism: the step function is jitted with sharded-batch inputs
+over a 1-axis mesh (see moda_tpu/parallel); k-means and bone re-init are
+deterministic (fixed key), so every replica derives identical new state —
+no explicit broadcasts (unlike train_utils.py:1136-1152).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moda_tpu.config import DataInfo, MoDAConfig
+from moda_tpu.core import quat as Q
+from moda_tpu.extract.mesh import Mesh, extract_mesh, make_grid_query
+from moda_tpu.fields.model import MoDAModel, ModelVars
+from moda_tpu.ops.kmeans import kmeans
+from moda_tpu.render import losses as L
+from moda_tpu.train import ckpt as CK
+from moda_tpu.train import schedule as SCH
+from moda_tpu.train.optim import MoDAOptimizer
+from moda_tpu.train.step import StepExtras, make_train_step
+
+ITERS_PER_EPOCH = 200  # train_utils.py:933
+
+
+def sample_mesh_points(mesh: Mesh, n: int, rng: np.random.Generator) -> np.ndarray:
+    """Area-weighted surface sampling (pytorch3d.ops.sample_points_from_meshes
+    equivalent, used for the bone regularizer at moda.py:690-692)."""
+    if len(mesh.faces) == 0:
+        return np.zeros((n, 3), np.float32)
+    v = mesh.vertices
+    f = mesh.faces
+    tri = v[f]
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1)
+    p = area / max(area.sum(), 1e-12)
+    idx = rng.choice(len(f), size=n, p=p)
+    u = rng.uniform(size=(n, 1))
+    w = rng.uniform(size=(n, 1))
+    flip = (u + w) > 1
+    u = np.where(flip, 1 - u, u)
+    w = np.where(flip, 1 - w, w)
+    t = tri[idx]
+    return (t[:, 0] + u * (t[:, 1] - t[:, 0]) + w * (t[:, 2] - t[:, 0])).astype(np.float32)
+
+
+def get_near_far(near_far: np.ndarray, rtk: np.ndarray, idk: np.ndarray,
+                 pts: np.ndarray, tol_fac: float = 1.2) -> np.ndarray:
+    """Update near/far from scene-point depth ranges per camera
+    (geom_utils.py:1105-1135), numpy host-side."""
+    out = near_far.copy()
+    valid = idk.astype(bool)
+    if not valid.any() or len(pts) == 0:
+        return out
+    R = rtk[valid, :3, :3]
+    T = rtk[valid, :3, 3]
+    z = (pts[None] @ np.swapaxes(R, -1, -2) + T[:, None])[:, :, 2]
+    zmin, zmax = z.min(1), z.max(1)
+    delta = (zmax - zmin) * (tol_fac - 1.0)
+    out[valid, 0] = np.maximum(zmin - delta, 1e-3)
+    out[valid, 1] = np.maximum(zmax + delta, 1e-3)
+    return out
+
+
+class Trainer:
+    def __init__(self, cfg: MoDAConfig, data_info: DataInfo,
+                 loader: Optional[Iterator] = None, save_dir: Optional[str] = None,
+                 prior_verts: Optional[np.ndarray] = None, seed: int = 0):
+        self.cfg = cfg
+        self.data_info = data_info
+        self.loader = loader
+        self.save_dir = save_dir or os.path.join(cfg.checkpoint_dir, cfg.logname)
+        os.makedirs(self.save_dir, exist_ok=True)
+
+        self.model = MoDAModel(cfg, data_info)
+        self.key = jax.random.key(seed)
+        self.params, self.mvars = self.model.init(self._next_key())
+        self.is_fine_tune = cfg.model_path != ""
+
+        num_fr = data_info.num_fr
+        self.latest_vars: Dict[str, np.ndarray] = {
+            "rt_raw": np.zeros((num_fr, 3, 4), np.float32),
+            "rtk": np.zeros((num_fr, 4, 4), np.float32),
+            "idk": np.zeros((num_fr,), np.float32),
+            "sil_err": np.zeros((num_fr,), np.float32),
+            "obj_bound": np.asarray(self.mvars.obj_bound),
+        }
+        self.mesh_rest = Mesh()
+        # canonical shape prior vertices (CSE mesh equivalent): unit-max-abs
+        if prior_verts is None:
+            rng = np.random.default_rng(0)
+            p = rng.normal(size=(642, 3))
+            prior_verts = (p / np.linalg.norm(p, axis=-1, keepdims=True)).astype(np.float32)
+        self.prior_verts_unit = prior_verts / np.abs(prior_verts).max()
+
+        self.total_steps_done = 0
+        self.progress = 0.0
+        self.counter_frz_rebone = 0.0
+        self.np_rng = np.random.default_rng(seed)
+        self.grid_query = make_grid_query(self.model)
+        self._step_cache: Dict = {}
+        self.log_path = os.path.join(self.save_dir, "log.jsonl")
+
+        # dump the resolved config (the reference's opts.log reproducibility
+        # artifact, train_utils.py:74-80)
+        if jax.process_index() == 0:
+            with open(os.path.join(self.save_dir, "opts.json"), "w") as f:
+                f.write(cfg.to_json())
+
+        if cfg.model_path:
+            self.load_model(cfg.model_path)
+
+    # ------------------------------------------------------------------ util
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    @property
+    def final_steps(self) -> int:
+        return self.cfg.num_epochs * ITERS_PER_EPOCH * self.cfg.accu_steps
+
+    def make_optimizer(self):
+        return MoDAOptimizer(self.cfg, total_steps=self.final_steps // self.cfg.accu_steps)
+
+    def get_step_fn(self, use_fine: bool, use_dskin: bool, use_bones: bool):
+        sig = (use_fine, use_dskin, use_bones, self.cfg.nsample, self.cfg.ndepth)
+        if sig not in self._step_cache:
+            self._step_cache[sig] = make_train_step(
+                self.model, self.optimizer, nsample=self.cfg.nsample,
+                ndepth=self.cfg.ndepth, use_fine=use_fine, use_dskin=use_dskin,
+                use_bones=use_bones, donate=False)
+        return self._step_cache[sig]
+
+    # --------------------------------------------------------------- priors
+    def reset_nf(self):
+        """Initialize near-far planes + obj bound from the prior shape
+        (train_utils.py:826-843)."""
+        cfg = self.cfg
+        nf = np.asarray(self.mvars.near_far)
+        shape_verts = self.prior_verts_unit / 3.0 * nf.mean() * 1.2
+        if not self.is_fine_tune and cfg.bound_factor > 0:
+            shape_verts = shape_verts * cfg.bound_factor
+            self.latest_vars["obj_bound"] = np.abs(shape_verts).max(0)
+        if nf[:, 0].sum() == 0:
+            nf = get_near_far(nf, self.latest_vars["rtk"], self.latest_vars["idk"], shape_verts)
+        self._set_mvars(near_far=nf, obj_bound=self.latest_vars["obj_bound"])
+
+    def _set_mvars(self, **kw):
+        d = {f: getattr(self.mvars, f) for f in
+             ("near_far", "alpha", "obj_bound", "vis_min", "vis_len", "beta_is_active")}
+        for k, v in kw.items():
+            d[k] = jnp.asarray(v)
+        self.mvars = ModelVars(**d)
+        return self.mvars
+
+    def set_cameras_from_rtk_files(self, rtk_by_frame: np.ndarray):
+        """Install per-frame prior cameras (extract_cams equivalent when
+        cameras come from files/posenet). rtk_by_frame [num_fr, 4, 4]."""
+        self.latest_vars["rtk"] = rtk_by_frame.astype(np.float32)
+        self.latest_vars["rt_raw"] = rtk_by_frame[:, :3, :4].astype(np.float32)
+        self.latest_vars["idk"][:] = 1
+
+    def preset_rootmlp(self):
+        """warmup_rootmlp: write camera rotations into the explicit root
+        table (train_utils.py:662-666)."""
+        rmat = self.latest_vars["rtk"][:, :3, :3]
+        quats = np.asarray(Q.matrix_to_q(jnp.asarray(rmat)))
+        se3 = np.asarray(self.params["nerf_root_rts"]["base_rt"]["se3"])
+        se3[:, 3:7] = quats
+        self.params["nerf_root_rts"]["base_rt"]["se3"] = jnp.asarray(se3)
+
+    # -------------------------------------------------------------- warmups
+    def warmup_shape(self, num_epochs: int):
+        """Fit the canonical SDF to the prior ellipsoid
+        (train_utils.py:845-869; moda.py:795-810)."""
+        cfg = self.cfg
+        nf = np.asarray(self.mvars.near_far)
+        shape_verts = self.prior_verts_unit * 0.1  # shape_factor (moda.py:803)
+        obj_bound = np.abs(shape_verts).max(0)
+        bound = jnp.asarray(obj_bound * cfg.bound_factor * 1.2, jnp.float32)
+        opt = MoDAOptimizer(cfg, total_steps=num_epochs * ITERS_PER_EPOCH)
+        opt_state = opt.init(self.params)
+
+        @jax.jit
+        def shape_step(params, opt_state, key):
+            def loss_fn(p):
+                pts = jax.random.uniform(key, (1, 10000, 3), minval=-1.0, maxval=1.0) * bound
+                return L.shape_init_loss(self.model, p, pts[0], jnp.asarray(obj_bound),
+                                         use_ellips=not cfg.init_ellips)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            new_params, opt_state = opt.update(grads, opt_state, params)
+            # only the shape MLP trains during shape warmup
+            out = dict(params)
+            for k in ("nerf_coarse", "nerf_beta"):
+                out[k] = new_params[k]
+            return out, opt_state, loss
+
+        loss = None
+        for e in range(num_epochs):
+            for i in range(ITERS_PER_EPOCH):
+                self.params, opt_state, loss = shape_step(self.params, opt_state, self._next_key())
+            self._log({"shape_init_loss": float(loss), "warmup_epoch": e})
+        return float(loss)
+
+    # --------------------------------------------------------- bone re-init
+    def reinit_bones(self):
+        """k-means bone re-init + body-head output-layer reset
+        (geom_utils.py:857-903). Deterministic key -> replica-identical."""
+        cfg = self.cfg
+        num_bones = cfg.num_bones
+        if len(self.mesh_rest.vertices) < 100:
+            bound = self.latest_vars["obj_bound"]
+            rng = np.random.default_rng(0)
+            centers = jnp.asarray(
+                (rng.uniform(size=(num_bones, 3)) * 2 - 1) * bound[None], jnp.float32)
+        else:
+            pts = jnp.asarray(self.mesh_rest.vertices)
+            centers = kmeans(jax.random.key(0), pts, num_bones)
+        orient = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (num_bones, 1))
+        scale = jnp.zeros((num_bones, 3))
+        bones_desired = jnp.concatenate([centers, orient, scale], -1)
+
+        # re-init the head's output layer (zero bias, small weights)
+        head = self.params["nerf_body_rts"]
+        rgb = head["trunk"]["rgb"]
+        k = self._next_key()
+        fan_in = rgb["kernel"].shape[0]
+        fan_out = rgb["kernel"].shape[1]
+        limit = 0.5 * np.sqrt(6.0 / (fan_in + fan_out))  # xavier_uniform gain=0.5
+        rgb = dict(rgb)
+        rgb["kernel"] = jax.random.uniform(k, rgb["kernel"].shape, minval=-limit, maxval=limit)
+        rgb["bias"] = jnp.zeros_like(rgb["bias"])
+        head = dict(head)
+        trunk = dict(head["trunk"])
+        trunk["rgb"] = rgb
+        head["trunk"] = trunk
+        self.params["nerf_body_rts"] = head
+
+        # store bones pre-warped by the inverse rest transform so that
+        # correct_bones() lands them at the k-means centers
+        from moda_tpu.core import dualquat as DQ
+        from moda_tpu.core import skinning as SK
+
+        rts_rst = self.model.body_rts_rest(self.params)
+        if cfg.neudbs:
+            stored = SK.bone_transform_dq(bones_desired, rts_rst)[0]
+        else:
+            from moda_tpu.core import se3 as SE3
+            stored = SK.bone_transform_rts(bones_desired, rts_rst)[0]
+        self.params["bones"] = stored
+
+    # ------------------------------------------------------------ main loop
+    def train(self):
+        cfg = self.cfg
+        self.optimizer = self.make_optimizer()
+        self.opt_state = self.optimizer.init(self.params)
+
+        if cfg.warmup_shape_ep > 0:
+            self.warmup_shape(cfg.warmup_shape_ep)
+
+        if cfg.warmup_rootmlp and self.latest_vars["idk"].sum() > 0:
+            self.preset_rootmlp()
+
+        if not self.is_fine_tune:
+            self.reset_nf()
+        self.latest_vars["idk"][:] = 0
+
+        shape_samp = np.zeros((1000, 3), np.float32)
+        shape_samp_valid = 0.0
+
+        for epoch in range(cfg.num_epochs):
+            t_ep = time.time()
+            # epoch-boundary eval + resets (train_utils.py:695-730, 1094-1152)
+            self.mesh_rest = extract_mesh(
+                self.model, self.params, self.latest_vars["obj_bound"],
+                cfg.sample_grid3d, cfg.mc_threshold, query=self.grid_query)
+            if len(self.mesh_rest.vertices) > 100:
+                shape_samp = sample_mesh_points(self.mesh_rest, 1000, self.np_rng)
+                shape_samp_valid = 1.0
+            self.reset_hparams(epoch)
+
+            self.train_one_epoch(epoch, shape_samp, shape_samp_valid)
+            self.save("latest")
+            self.save(str(epoch + 1))
+            self._log({"epoch": epoch, "epoch_time": time.time() - t_ep,
+                       "mesh_verts": len(self.mesh_rest.vertices)})
+
+    def reset_hparams(self, epoch: int):
+        cfg = self.cfg
+        # object bound reset (train_utils.py:1102-1104)
+        if epoch > int(cfg.num_epochs * cfg.bound_reset):
+            if len(self.mesh_rest.vertices) > 100:
+                self.latest_vars["obj_bound"] = 1.2 * np.abs(self.mesh_rest.vertices).max(0)
+                self._set_mvars(obj_bound=self.latest_vars["obj_bound"])
+        # bone re-init epochs (train_utils.py:1106-1121)
+        if (cfg.lbs or cfg.neudbs) and not self.is_fine_tune and (
+            epoch == int(cfg.num_epochs * cfg.reinit_bone_steps)
+            or epoch == 0
+            or epoch == int(cfg.num_epochs * cfg.warmup_steps) // 2
+        ):
+            self.reinit_bones()
+            self.opt_state = self.optimizer.init(self.params)
+            if epoch > 0:
+                self.counter_frz_rebone = 0.01
+                self.latest_vars["sil_err"][:] = 0
+
+    def train_one_epoch(self, epoch: int, shape_samp, shape_samp_valid):
+        cfg = self.cfg
+        use_fine = SCH.use_fine_samples(cfg, self.progress)
+        use_dskin = SCH.use_dskin(cfg, epoch, cfg.num_epochs)
+        use_bones = SCH.use_bones(cfg, epoch, self.is_fine_tune)
+        step_fn = self.get_step_fn(use_fine, use_dskin, use_bones)
+
+        for i in range(ITERS_PER_EPOCH * cfg.accu_steps):
+            self.progress = self.total_steps_done / max(self.final_steps, 1)
+            ind = SCH.compute_indicators(cfg, self.progress, i, self.counter_frz_rebone,
+                                         self.is_fine_tune)
+            sil_nonzero = self.latest_vars["sil_err"][self.latest_vars["sil_err"] > 0]
+            sil_med = float(np.median(sil_nonzero)) if len(sil_nonzero) else 1e9
+            extras = StepExtras(
+                progress=jnp.asarray(self.progress, jnp.float32),
+                loss_select=jnp.asarray(ind.loss_select),
+                root_update=jnp.asarray(ind.root_update, jnp.float32),
+                body_update=jnp.asarray(ind.body_update, jnp.float32),
+                shape_update=jnp.asarray(ind.shape_update, jnp.float32),
+                cvf_update=jnp.asarray(ind.cvf_update, jnp.float32),
+                sil_err_median=jnp.asarray(sil_med, jnp.float32),
+                shape_samp=jnp.asarray(shape_samp),
+                shape_samp_valid=jnp.asarray(shape_samp_valid, jnp.float32),
+                embed_alpha=jnp.asarray(
+                    SCH.embedding_alpha(cfg, self.progress), jnp.float32),
+            )
+            batch = next(self.loader)
+            batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+
+            self.params, self.opt_state, aux, host_out = step_fn(
+                self.params, self.opt_state, self.mvars, batch_dev, extras,
+                self._next_key())
+
+            # host bookkeeping (save_latest_vars, moda.py:1497-1513 + filter)
+            fid = np.asarray(batch["frameid"])
+            self.latest_vars["rtk"][fid] = np.asarray(host_out["rtk"])
+            self.latest_vars["rt_raw"][fid] = np.asarray(host_out["rtk"])[:, :3, :4]
+            self.latest_vars["idk"][fid] = 1
+            fe = np.asarray(host_out["frame_err"])
+            fc = np.asarray(host_out["frame_cnt"])
+            upd = fc > 0
+            self.latest_vars["sil_err"][upd] = fe[upd]
+
+            # near-far re-estimation after nf_reset progress (moda.py:485-491)
+            if self.progress >= cfg.nf_reset and len(self.mesh_rest.vertices) > 100 \
+                    and i % 50 == 0:
+                corners = _box_corners(self.mesh_rest.bounds)
+                nf = get_near_far(np.asarray(self.mvars.near_far),
+                                  self.latest_vars["rtk"], self.latest_vars["idk"], corners)
+                self._set_mvars(near_far=nf)
+
+            self.total_steps_done += 1
+            self.counter_frz_rebone -= 1.0 / max(self.final_steps, 1)
+
+            # explosion rollback (train_utils.py:971-974)
+            if (float(aux.get("nerf_root_rts_g", 0.0)) > cfg.clip_scale
+                    and self.total_steps_done > 200 * cfg.accu_steps):
+                latest = os.path.join(self.save_dir, "latest")
+                if os.path.exists(latest + ".params.npz"):
+                    self.load_model(latest)
+
+            if i % 50 == 0 and jax.process_index() == 0:
+                scalars = {k: float(v) for k, v in aux.items()
+                           if np.ndim(v) == 0}
+                scalars.update({"step": self.total_steps_done, "epoch": epoch,
+                                "progress": self.progress})
+                self._log(scalars)
+
+    # ---------------------------------------------------------- persistence
+    def save(self, tag: str):
+        if jax.process_index() != 0:
+            return
+        mv = {f: np.asarray(getattr(self.mvars, f)) for f in
+              ("near_far", "alpha", "obj_bound", "vis_min", "vis_len")}
+        CK.save_checkpoint(os.path.join(self.save_dir, tag), self.params,
+                           self.latest_vars, mv,
+                           meta={"num_fr": self.data_info.num_fr,
+                                 "num_bones": self.cfg.num_bones,
+                                 "steps": self.total_steps_done})
+        if len(self.mesh_rest.vertices) > 0:
+            self.mesh_rest.export_obj(os.path.join(self.save_dir, f"mesh_rest-{tag}.obj"))
+
+    def load_model(self, path: str):
+        loaded, lv, mv, meta = CK.load_checkpoint(path)
+        num_fr_match = meta is None or meta.get("num_fr") == self.data_info.num_fr
+        num_bones_match = meta is None or meta.get("num_bones") == self.cfg.num_bones
+        self.params = CK.merge_params(self.params, loaded, num_fr_match, num_bones_match)
+        for k, v in lv.items():
+            if k in self.latest_vars and (num_fr_match or k == "obj_bound"):
+                self.latest_vars[k] = v
+        if "obj_bound" in lv:
+            self._set_mvars(obj_bound=lv["obj_bound"])
+        if num_fr_match and "near_far" in mv:
+            self._set_mvars(near_far=mv["near_far"])
+
+    def _log(self, d: Dict):
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(d) + "\n")
+
+
+def _box_corners(bounds: np.ndarray) -> np.ndarray:
+    lo, hi = bounds[0], bounds[1]
+    return np.asarray([
+        [x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1]) for z in (lo[2], hi[2])
+    ], np.float32)

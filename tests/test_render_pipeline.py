@@ -1,0 +1,144 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from moda_tpu.config import DataInfo, MoDAConfig
+from moda_tpu.fields.model import MoDAModel, create_base_se3
+from moda_tpu.render import losses as L
+from moda_tpu.render import rays as RB
+from moda_tpu.render.pipeline import render_rays
+
+
+def tiny_setup(**cfg_kw):
+    cfg = MoDAConfig(
+        num_bones=3, img_size=16, nsample=4, ndepth=8, use_unc=True,
+        feat_ndepth_grid=4, **cfg_kw,
+    )
+    info = DataInfo(offset=(0, 6), intrinsics=((20.0, 20.0, 8.0, 8.0),))
+    model = MoDAModel(cfg, info)
+    params, mvars = model.init(jax.random.key(0))
+    return cfg, model, params, mvars
+
+
+def tiny_batch(rng, cfg, n_pairs=2):
+    P = cfg.img_size * cfg.img_size
+    bs2 = 2 * n_pairs
+
+    def img(c):
+        return jnp.asarray(rng.uniform(size=(bs2, c, P)).astype(np.float32))
+
+    batch = {
+        "imgs": img(3),
+        "masks": (img(1) > 0.5).astype(jnp.float32),
+        "vis2d": jnp.ones((bs2, 1, P)),
+        "flow": img(2) * 0.1,
+        "occ": img(1),
+        "dp_feats": img(16),
+        "kaug": jnp.tile(jnp.asarray([[1.0, 1.0, 0.0, 0.0]]), (bs2, 1)),
+        # pairs (i, i+n_pairs): reference frames then paired frames
+        "frameid": jnp.asarray([0, 2, 1, 3][:n_pairs] + [1, 3, 2, 4][:n_pairs]),
+        "frameid_sub": jnp.asarray([0, 2, 1, 3][:n_pairs] + [1, 3, 2, 4][:n_pairs]),
+        "dataid": jnp.zeros((bs2,), jnp.int32),
+    }
+    return batch
+
+
+def make_rtk(model, params, batch):
+    rt = model.compute_rts(params)[batch["frameid"]]
+    ks = params["ks_param"][batch["dataid"]]
+    rtk = jnp.zeros((rt.shape[0], 4, 4))
+    rtk = rtk.at[:, :3, :4].set(rt)
+    rtk = rtk.at[:, 3, :].set(ks)
+    return rtk
+
+
+def run_forward(cfg, model, params, mvars, batch, key, **render_kw):
+    @jax.jit
+    def fwd(params, mvars, batch, key):
+        rtk = make_rtk(model, params, batch)
+        rays = RB.build_rays(model, params, mvars, batch, rtk, key, cfg.nsample)
+        rendered = render_rays(model, params, mvars, rays, key, cfg.ndepth, **render_kw)
+        return rays, rendered
+
+    return fwd(params, mvars, batch, key)
+
+
+def test_render_shapes_and_finiteness(rng):
+    cfg, model, params, mvars = tiny_setup()
+    batch = tiny_batch(rng, cfg)
+    rays, rendered = run_forward(cfg, model, params, mvars, batch, jax.random.key(1))
+    R = 4 * cfg.nsample
+    assert rendered["img_coarse"].shape == (R, 3)
+    assert rendered["sil_coarse"].shape == (R, 1)
+    assert rendered["flo_coarse"].shape == (R, 2)
+    assert rendered["feat_err"].shape == (R, 1)
+    assert rendered["proj_err"].shape == (R, 1)
+    assert rendered["unc_pred"].shape == (R, 1)
+    for k, v in rendered.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_total_loss_and_grads(rng):
+    cfg, model, params, mvars = tiny_setup(use_corr=True, eikonal_wt=0.001)
+    batch = tiny_batch(rng, cfg)
+
+    def loss_fn(params, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        rtk_all3 = model.compute_rts(params)
+        rays, rendered = run_forward(cfg, model, params, mvars, batch, k1)
+        extras = {
+            "loss_select": jnp.asarray(1),
+            "invalid_mask": jnp.ones((4 * cfg.nsample, 1)),
+            "shape_samp": jax.random.normal(k2, (64, 3)) * 0.1,
+            "shape_samp_valid": jnp.asarray(1.0),
+            "progress": jnp.asarray(0.5),
+        }
+        rtk_all = jnp.zeros((model.num_fr, 4, 4)).at[:, :3].set(rtk_all3)
+        total, aux = L.total_loss(model, params, mvars, rendered, rays, rtk_all, extras, k3)
+        return total, aux
+
+    (total, aux), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(params, jax.random.key(2))
+    assert np.isfinite(float(total))
+    for k in ["sil_loss", "img_loss", "flo_loss", "feat_loss", "proj_loss",
+              "cyc_loss", "root_sm_loss", "bone_loc_loss", "unc_loss", "ekl_loss"]:
+        assert k in aux and np.isfinite(float(aux[k])), k
+    # gradients reach every major component
+    for comp in ["nerf_coarse", "nerf_feat", "nerf_body_rts", "nerf_root_rts",
+                 "bones", "skin_aux", "pose_code", "env_code", "ks_param"]:
+        g = grads[comp]
+        leaf_norms = [float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)]
+        assert np.isfinite(leaf_norms).all(), comp
+        assert sum(leaf_norms) > 0, f"no gradient reaching {comp}"
+
+
+def test_render_eval_image(rng):
+    cfg, model, params, mvars = tiny_setup()
+    batch = tiny_batch(rng, cfg, n_pairs=1)
+    rtk = make_rtk(model, params, batch)
+    @jax.jit
+    def render_image(params, mvars, rtk, kaug, frameid, dataid, key):
+        rays = RB.build_rays_image(model, params, mvars, rtk, kaug, frameid, dataid,
+                                   render_size=8)
+        return render_rays(model, params, mvars, rays, key, cfg.ndepth, fine_iter=False)
+
+    rendered = render_image(params, mvars, rtk[:1], batch["kaug"][:1],
+                            batch["frameid"][:1], batch["dataid"][:1], jax.random.key(0))
+    assert rendered["img_coarse"].shape == (64, 3)
+    assert np.isfinite(np.asarray(rendered["img_coarse"])).all()
+
+
+def test_fine_sampling_path(rng):
+    cfg, model, params, mvars = tiny_setup()
+    batch = tiny_batch(rng, cfg)
+    _, rendered = run_forward(cfg, model, params, mvars, batch, jax.random.key(1),
+                              use_fine=True)
+    assert rendered["img_coarse"].shape == (4 * cfg.nsample, 3)
+    assert np.isfinite(np.asarray(rendered["img_coarse"])).all()
+
+
+def test_lbs_mode(rng):
+    cfg, model, params, mvars = tiny_setup(lbs=True, neudbs=False)
+    batch = tiny_batch(rng, cfg)
+    rays, rendered = run_forward(cfg, model, params, mvars, batch, jax.random.key(1))
+    assert np.isfinite(np.asarray(rendered["img_coarse"])).all()
+    assert "frame_cyc_dis" in rendered

@@ -1,0 +1,123 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from moda_tpu.config import DataInfo, MoDAConfig
+from moda_tpu.fields.model import MoDAModel
+from moda_tpu.train.optim import (MoDAOptimizer, clip_by_group, onecycle_lr,
+                                  reject_nonfinite, apply_freeze_masks)
+from moda_tpu.train.schedule import compute_indicators
+from moda_tpu.train.step import StepExtras, make_train_step
+
+from tests.test_render_pipeline import tiny_batch, tiny_setup
+
+
+def test_onecycle_schedule():
+    sched = onecycle_lr(1.0, 1000, 10)
+    lr0 = float(sched(0))
+    np.testing.assert_allclose(lr0, 1.0 / 25.0, rtol=1e-5)
+    warmup = 200  # pct_start = 2/10
+    np.testing.assert_allclose(float(sched(warmup)), 1.0, rtol=1e-3)
+    np.testing.assert_allclose(float(sched(1000)), 0.2, rtol=1e-3)
+
+
+def test_clip_by_group():
+    grads = {"nerf_coarse": {"w": jnp.full((10,), 100.0)}, "bones": jnp.full((3,), 0.1)}
+    clipped, norms = clip_by_group(grads, clip_scale=1.0)
+    # nerf_coarse max norm = 1.0 -> clipped to unit norm
+    n = float(jnp.linalg.norm(clipped["nerf_coarse"]["w"]))
+    np.testing.assert_allclose(n, 1.0, rtol=1e-4)
+    assert float(norms["nerf_coarse_g"]) > 100.0
+    # bones norm 0.17 < max norm 1.0 -> untouched
+    np.testing.assert_allclose(np.asarray(clipped["bones"]), 0.1, rtol=1e-6)
+
+
+def test_reject_nonfinite():
+    grads = {"a": jnp.asarray([1.0, jnp.nan])}
+    out, finite = reject_nonfinite(grads)
+    assert not bool(finite)
+    np.testing.assert_array_equal(np.asarray(out["a"]), [0.0, 0.0])
+
+
+def test_freeze_masks():
+    cfg = MoDAConfig()
+    grads = {"nerf_root_rts": jnp.ones((2,)), "nerf_coarse": jnp.ones((2,)),
+             "nerf_feat": jnp.ones((2,))}
+    ind = {"root_update": jnp.asarray(0.0), "body_update": jnp.asarray(1.0),
+           "shape_update": jnp.asarray(1.0), "cvf_update": jnp.asarray(0.0)}
+    out = apply_freeze_masks(grads, ind, cfg)
+    assert float(jnp.abs(out["nerf_root_rts"]).sum()) == 0.0
+    assert float(jnp.abs(out["nerf_coarse"]).sum()) == 0.0
+    assert float(jnp.abs(out["nerf_feat"]).sum()) == 2.0
+
+
+def test_indicators_reference_semantics():
+    cfg = MoDAConfig(freeze_proj=True, proj_start=0.0, proj_end=0.2, frzbody_end=0.8)
+    ind = compute_indicators(cfg, progress=0.1, step_in_epoch=1,
+                             counter_frz_rebone=0.0, is_fine_tune=True)
+    assert ind.shape_update == 1.0 and ind.cvf_update == 1.0
+    assert ind.root_update == 0.0 and ind.body_update == 0.0
+    ind2 = compute_indicators(cfg, progress=0.9, step_in_epoch=0,
+                              counter_frz_rebone=0.0, is_fine_tune=True)
+    assert ind2.shape_update == 0.0 and ind2.root_update == 1.0 and ind2.body_update == 1.0
+    # flow-only alternation during warmup
+    cfg3 = MoDAConfig()
+    i3 = compute_indicators(cfg3, 0.1, step_in_epoch=0, counter_frz_rebone=0, is_fine_tune=False)
+    assert i3.loss_select == 0
+    i4 = compute_indicators(cfg3, 0.1, step_in_epoch=1, counter_frz_rebone=0, is_fine_tune=False)
+    assert i4.loss_select == 1
+
+
+def default_extras(model, key):
+    return StepExtras(
+        progress=jnp.asarray(0.5),
+        loss_select=jnp.asarray(1),
+        root_update=jnp.asarray(1.0),
+        body_update=jnp.asarray(1.0),
+        shape_update=jnp.asarray(0.0),
+        cvf_update=jnp.asarray(0.0),
+        sil_err_median=jnp.asarray(1e9),
+        shape_samp=jax.random.normal(key, (32, 3)) * 0.1,
+        shape_samp_valid=jnp.asarray(1.0),
+        embed_alpha=jnp.asarray(10.0),
+    )
+
+
+def test_train_step_updates_and_decreases_loss(rng):
+    cfg, model, params, mvars = tiny_setup()
+    batch = tiny_batch(rng, cfg)
+    opt = MoDAOptimizer(cfg, total_steps=100)
+    opt_state = opt.init(params)
+    step = make_train_step(model, opt, nsample=cfg.nsample, ndepth=cfg.ndepth,
+                           use_fine=False, use_dskin=False, use_bones=True,
+                           donate=False)
+    extras = default_extras(model, jax.random.key(9))
+
+    losses = []
+    p, s = params, opt_state
+    for i in range(5):
+        p, s, aux, host_out = step(p, s, mvars, batch, extras, jax.random.key(i))
+        losses.append(float(aux["total_loss"]))
+        assert np.isfinite(losses[-1])
+        assert float(aux["grad_finite"]) == 1.0
+    # params actually changed
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                               p["nerf_coarse"], params["nerf_coarse"])
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+    # per-group grad norms logged
+    assert "nerf_coarse_g" in aux and "nerf_root_rts_g" in aux
+    assert host_out["rtk"].shape == (4, 4, 4)
+    # loss on a fixed batch should trend down over a few steps
+    assert losses[-1] < losses[0] * 1.5
+
+
+def test_train_step_without_bones(rng):
+    cfg, model, params, mvars = tiny_setup()
+    batch = tiny_batch(rng, cfg)
+    opt = MoDAOptimizer(cfg, total_steps=100)
+    step = make_train_step(model, opt, nsample=cfg.nsample, ndepth=cfg.ndepth,
+                           use_fine=False, use_dskin=False, use_bones=False,
+                           donate=False)
+    extras = default_extras(model, jax.random.key(9))
+    p, s, aux, _ = step(params, opt.init(params), mvars, batch, extras, jax.random.key(0))
+    assert np.isfinite(float(aux["total_loss"]))

@@ -1,0 +1,117 @@
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from moda_tpu.config import DataInfo, MoDAConfig
+from moda_tpu.data.synthetic import SynthScene
+from moda_tpu.train import ckpt as CK
+from moda_tpu.train.trainer import Trainer, get_near_far, sample_mesh_points
+from moda_tpu.extract.mesh import Mesh
+
+
+class SynthLoader:
+    """Loader over the analytic synthetic scene."""
+
+    def __init__(self, scene: SynthScene, n_pairs: int, seed=0):
+        self.scene = scene
+        self.n_pairs = n_pairs
+        self.rng = np.random.default_rng(seed)
+        self._cache = {}
+
+    def __next__(self):
+        ids = []
+        for _ in range(self.n_pairs):
+            a = int(self.rng.integers(0, self.scene.num_frames - 1))
+            ids.append((a, a + 1))
+        key = tuple(ids)
+        if key not in self._cache:
+            if len(self._cache) > 8:
+                self._cache.clear()
+            self._cache[key] = self.scene.make_batch(list(ids))
+        return self._cache[key]
+
+
+def make_trainer(tmp_path, num_epochs=2, img_size=32, num_frames=8, **cfg_kw):
+    scene = SynthScene(img_size=img_size, num_frames=num_frames)
+    cfg = MoDAConfig(
+        num_bones=4, img_size=img_size, nsample=4, ndepth=16, num_epochs=num_epochs,
+        feat_ndepth_grid=6, use_cam=True, logname="synth", checkpoint_dir=str(tmp_path),
+        eikonal_wt=0.0, **cfg_kw)
+    f = scene.focal * img_size / 2
+    info = DataInfo(offset=(0, num_frames),
+                    intrinsics=((f, f, img_size / 2, img_size / 2),))
+    loader = SynthLoader(scene, n_pairs=2)
+    tr = Trainer(cfg, info, loader=loader, save_dir=str(tmp_path / "synth"))
+    # install GT cameras (use_rtk_file route)
+    rtk = np.stack([scene.render_frame(i)["rtk"] for i in range(num_frames)])
+    rtk4 = np.tile(np.eye(4, dtype=np.float32)[None], (num_frames, 1, 1))
+    rtk4[:, :3] = rtk[:, :3]
+    rtk4[:, 3] = rtk[:, 3]
+    # scale translations into normalized units (obj_scale division,
+    # moda.py:1429-1431)
+    rtk4[:, :3, 3] /= tr.model.obj_scale
+    tr.set_cameras_from_rtk_files(rtk4)
+    return scene, tr
+
+
+def test_near_far_update():
+    nf = np.tile(np.asarray([[0.0, 6.0]], np.float32), (3, 1))
+    rtk = np.tile(np.eye(4, dtype=np.float32)[None], (3, 1, 1))
+    rtk[:, 2, 3] = 5.0  # camera 5 units back
+    idk = np.asarray([1.0, 1.0, 0.0])
+    pts = np.asarray([[0, 0, -0.5], [0, 0, 0.5]], np.float32)
+    out = get_near_far(nf, rtk, idk, pts)
+    assert 4.0 < out[0, 0] < 4.6 and 5.4 < out[0, 1] < 6.0
+    np.testing.assert_allclose(out[2], [0.0, 6.0])  # invalid frame untouched
+
+
+def test_sample_mesh_points():
+    # unit right triangle in z=0 plane
+    mesh = Mesh(vertices=np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+                faces=np.asarray([[0, 1, 2]], np.int32))
+    pts = sample_mesh_points(mesh, 500, np.random.default_rng(0))
+    assert pts.shape == (500, 3)
+    assert (pts[:, 2] == 0).all()
+    assert (pts[:, 0] + pts[:, 1] <= 1.0 + 1e-6).all()
+    assert (pts >= -1e-6).all()
+
+
+def test_ckpt_roundtrip_and_surgery(tmp_path, rng):
+    params = {"nerf_coarse": {"a": jnp.ones((3, 4)), "b": {"c": jnp.zeros(2)}},
+              "bones": jnp.ones((4, 10)), "ks_param": jnp.ones((1, 4))}
+    lv = {"rtk": np.zeros((5, 4, 4)), "idk": np.ones(5)}
+    mv = {"near_far": np.ones((5, 2))}
+    path = str(tmp_path / "ck")
+    CK.save_checkpoint(path, params, lv, mv, meta={"num_fr": 5, "num_bones": 4})
+    p2, lv2, mv2, meta = CK.load_checkpoint(path)
+    np.testing.assert_allclose(np.asarray(p2["nerf_coarse"]["a"]), 1.0)
+    assert meta["num_fr"] == 5
+
+    # surgery: frame-count mismatch drops video-specific keys
+    init = {"nerf_coarse": {"a": jnp.zeros((3, 4)), "b": {"c": jnp.ones(2)}},
+            "bones": jnp.zeros((4, 10)), "ks_param": jnp.zeros((2, 4))}
+    merged = CK.merge_params(init, p2, num_fr_match=False, num_bones_match=True)
+    np.testing.assert_allclose(np.asarray(merged["nerf_coarse"]["a"]), 1.0)  # kept
+    np.testing.assert_allclose(np.asarray(merged["ks_param"]), 0.0)  # dropped
+    np.testing.assert_allclose(np.asarray(merged["bones"]), 1.0)  # kept
+    merged2 = CK.merge_params(init, p2, num_fr_match=True, num_bones_match=False)
+    np.testing.assert_allclose(np.asarray(merged2["bones"]), 0.0)  # dropped
+
+
+@pytest.mark.slow
+def test_trainer_synthetic_end_to_end(tmp_path):
+    """Minimum end-to-end slice: 2 epochs on the analytic scene; losses
+    finite, checkpoints written, mesh extraction runs."""
+    scene, tr = make_trainer(tmp_path, num_epochs=2)
+    tr.train()
+    assert os.path.exists(os.path.join(tr.save_dir, "latest.params.npz"))
+    # logged losses are finite and present
+    import json
+    rows = [json.loads(l) for l in open(tr.log_path)]
+    losses = [r["total_loss"] for r in rows if "total_loss" in r]
+    assert len(losses) >= 2 and np.isfinite(losses).all()
+    # training reduced the total loss on the synthetic scene
+    assert losses[-1] < losses[0]
