@@ -28,17 +28,18 @@ def main():
     from moda_tpu.train.optim import MoDAOptimizer
     from moda_tpu.train.step import StepExtras, make_train_step
 
-    # production shape: 256 pairs, nsample 4, ndepth 128 (template.sh:27)
+    # production shape: 256 line pairs, nsample 4, ndepth 128
+    # (template.sh:27, lineload layout: each batch entry is one 512-px row)
     n_pairs = 256
     cfg = MoDAConfig(num_bones=25, img_size=512, nsample=4, ndepth=128,
-                     use_unc=True, feat_ndepth_grid=20)
+                     use_unc=True, feat_ndepth_grid=20, lineload=True)
     num_fr = 64
     info = DataInfo(offset=(0, num_fr), intrinsics=((500.0, 500.0, 256.0, 256.0),))
     model = MoDAModel(cfg, info)
     params, mvars = model.init(jax.random.key(0))
 
     rng = np.random.default_rng(0)
-    P = cfg.img_size * cfg.img_size
+    P = cfg.img_size  # one pixel row per entry
     bs2 = 2 * n_pairs
 
     def img(c):
@@ -53,6 +54,7 @@ def main():
         "kaug": jnp.tile(jnp.asarray([[1.0, 1.0, 0.0, 0.0]]), (bs2, 1)),
         "frameid": jnp.asarray(fid), "frameid_sub": jnp.asarray(fid),
         "dataid": jnp.zeros((bs2,), jnp.int32),
+        "lineid": jnp.asarray(rng.integers(0, cfg.img_size, size=bs2), jnp.int32),
     }
 
     opt = MoDAOptimizer(cfg, total_steps=10000)

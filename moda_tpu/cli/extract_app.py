@@ -1,0 +1,81 @@
+"""Mesh/camera extraction entry point — the reference's extract.py.
+
+Loads a checkpoint, extracts the canonical mesh, forward-warps it to each
+requested frame (queryfw route, train_utils.py:1467-1473), renders eval
+images and writes per-frame .obj + camera .txt files
+(extract.py:24-136's save_output layout).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def parse_test_frames(spec: str, offsets) -> list:
+    """test_frames syntax (utils/io.py str_to_frame): '{0,1}' = videos,
+    'N' = N frames evenly spaced."""
+    total = offsets[-1]
+    if spec.startswith("{"):
+        idx = []
+        for v in spec[1:-1].split(","):
+            v = int(v)
+            idx += list(range(offsets[v], offsets[v + 1] - 1))
+        return idx
+    n = int(spec)
+    return list(np.linspace(0, total - 1, min(n, total), dtype=int))
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    from moda_tpu.cli.flags import parse_config
+    from moda_tpu.config import DataInfo, load_seq_config
+    from moda_tpu.data.dataset import build_datasets, data_offsets
+    from moda_tpu.extract.mesh import Mesh, extract_mesh, make_warp_fw, skin_colors
+    from moda_tpu.render.evalrender import make_frame_renderer
+    from moda_tpu.train.trainer import Trainer
+
+    cfg = parse_config(argv)
+    datasets = build_datasets(cfg.seqname, cfg.img_size, cfg.config_dir,
+                              rtk_base=cfg.rtk_path or None)
+    offsets = data_offsets(datasets)
+    intrinsics = [tuple(s.ks) for s in load_seq_config(cfg.seqname, cfg.config_dir)]
+    info = DataInfo(offset=offsets, intrinsics=tuple(intrinsics))
+
+    trainer = Trainer(cfg, info, loader=None)
+    assert cfg.model_path, "--model_path required for extraction"
+
+    out_dir = os.path.join(cfg.checkpoint_dir, cfg.logname + "-export")
+    os.makedirs(out_dir, exist_ok=True)
+
+    mesh_rest = extract_mesh(trainer.model, trainer.params,
+                             trainer.latest_vars["obj_bound"], cfg.sample_grid3d,
+                             cfg.mc_threshold, use_vis=not cfg.full_mesh)
+    mesh_rest.export_obj(os.path.join(out_dir, f"{cfg.seqname}-mesh-rest.obj"))
+    if (cfg.lbs or cfg.neudbs) and len(mesh_rest.vertices) > 0:
+        skin_mesh = mesh_rest.copy()
+        skin_mesh.colors = skin_colors(trainer.model, trainer.params, mesh_rest)
+        skin_mesh.export_obj(os.path.join(out_dir, f"{cfg.seqname}-mesh-skin.obj"))
+
+    warp_fw = make_warp_fw(trainer.model)
+    renderer = make_frame_renderer(trainer.model, cfg.render_size, cfg.ndepth,
+                                   chunk=cfg.chunk)
+    idx_render = parse_test_frames(cfg.test_frames, offsets)
+    for fi in idx_render:
+        fid = jnp.asarray(fi)
+        if cfg.queryfw and len(mesh_rest.vertices) > 0:
+            verts_dfm, bones_dfm = warp_fw(trainer.params, jnp.asarray(mesh_rest.vertices), fid)
+            mesh_i = Mesh(np.asarray(verts_dfm), mesh_rest.faces, mesh_rest.colors)
+        else:
+            mesh_i = mesh_rest
+        mesh_i.export_obj(os.path.join(out_dir, f"{cfg.seqname}-mesh-{fi:05d}.obj"))
+        rtk = trainer.latest_vars["rtk"][fi].copy()
+        rtk[:3, 3] *= trainer.model.obj_scale
+        np.savetxt(os.path.join(out_dir, f"{cfg.seqname}-cam-{fi:05d}.txt"), rtk)
+    print(f"exported {len(idx_render)} frames to {out_dir}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

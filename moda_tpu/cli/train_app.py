@@ -1,0 +1,60 @@
+"""Training entry point — the reference's main.py, TPU edition.
+
+Usage (mirrors scripts/template.sh stage flags):
+  python -m moda_tpu.cli.train_app --seqname cat-pikachiu-sub \
+      --logname exp1 --num_epochs 120 --lineload --batch_size 256 ...
+
+Single-process (one TPU slice); multi-host would initialize
+jax.distributed here (the reference's torchrun/NCCL init at main.py:22-28
+is replaced by jax's runtime).
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    from moda_tpu.cli.flags import parse_config
+    from moda_tpu.config import DataInfo
+    from moda_tpu.data.dataset import PairLoader, build_datasets, data_offsets
+    from moda_tpu.train.trainer import Trainer
+
+    cfg = parse_config(argv)
+    datasets = build_datasets(cfg.seqname, cfg.img_size, cfg.config_dir,
+                              rtk_base=cfg.rtk_path or None)
+    offsets = data_offsets(datasets)
+    intrinsics = []
+    from moda_tpu.config import load_seq_config
+    for s in load_seq_config(cfg.seqname, cfg.config_dir):
+        intrinsics.append(tuple(s.ks))
+    impath = tuple(p for d in datasets for p in d.reader.paths.imglist)
+    info = DataInfo(offset=offsets, impath=impath, intrinsics=tuple(intrinsics))
+
+    import jax
+    loader = PairLoader(datasets, cfg.batch_size, seed=0,
+                        process_index=jax.process_index())
+    trainer = Trainer(cfg, info, loader=loader)
+
+    # camera initialization: rtk files on disk (use_rtk_file / posenet export)
+    if cfg.use_rtk_file or cfg.rtk_path:
+        rtks = []
+        ok = True
+        for d in datasets:
+            for i in range(d.num_frames):
+                try:
+                    rtk = np.loadtxt(d.reader.paths.rtklist[i])
+                    rtk[:3, 3] /= trainer.model.obj_scale
+                    rtks.append(rtk)
+                except (FileNotFoundError, OSError):
+                    ok = False
+        if ok and rtks:
+            trainer.set_cameras_from_rtk_files(np.stack(rtks).astype(np.float32))
+
+    trainer.train()
+    loader.close()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -13,33 +13,51 @@ import numpy as np
 
 _HERE = os.path.dirname(__file__)
 _LOCK = threading.Lock()
-_LIB = None
+_LIBS = {}
+
+
+def _compile(name: str) -> str:
+    src = os.path.join(_HERE, name + ".cpp")
+    so = os.path.join(_HERE, "lib" + name + ".so")
+    if (not os.path.exists(so)) or os.path.getmtime(so) < os.path.getmtime(src):
+        subprocess.check_call(
+            ["g++", "-O3", "-shared", "-fPIC", "-march=native", "-o", so, src]
+        )
+    return so
+
+
+def _load(name: str):
+    with _LOCK:
+        if name in _LIBS:
+            return _LIBS[name]
+        lib = ctypes.CDLL(_compile(name))
+        if name == "marching":
+            lib.marching_tets.restype = ctypes.c_int
+            lib.marching_tets.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.mt_free.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                    ctypes.POINTER(ctypes.c_int32)]
+        elif name == "raster":
+            lib.rasterize.restype = None
+            lib.rasterize.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ]
+        _LIBS[name] = lib
+        return lib
 
 
 def _build_and_load():
-    global _LIB
-    with _LOCK:
-        if _LIB is not None:
-            return _LIB
-        src = os.path.join(_HERE, "marching.cpp")
-        so = os.path.join(_HERE, "libmarching.so")
-        if (not os.path.exists(so)) or os.path.getmtime(so) < os.path.getmtime(src):
-            subprocess.check_call(
-                ["g++", "-O3", "-shared", "-fPIC", "-march=native", "-o", so, src]
-            )
-        lib = ctypes.CDLL(so)
-        lib.marching_tets.restype = ctypes.c_int
-        lib.marching_tets.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_float,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.mt_free.argtypes = [ctypes.POINTER(ctypes.c_float),
-                                ctypes.POINTER(ctypes.c_int32)]
-        _LIB = lib
-        return lib
+    return _load("marching")
 
 
 def marching_cubes(grid: np.ndarray, iso: float = 0.0):
@@ -67,3 +85,26 @@ def marching_cubes(grid: np.ndarray, iso: float = 0.0):
     finally:
         lib.mt_free(vp, tp)
     return verts, tris
+
+
+def rasterize(verts: np.ndarray, faces: np.ndarray, attrs: np.ndarray,
+              height: int, width: int):
+    """Hard z-buffer rasterization with perspective-correct vertex-attribute
+    interpolation (native). verts [V,3] = (x_px, y_px, depth); faces [F,3];
+    attrs [V,C]. Returns (attr [H,W,C], depth [H,W], mask [H,W])."""
+    lib = _load("raster")
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    attrs = np.ascontiguousarray(attrs, np.float32)
+    C = attrs.shape[1]
+    out_attr = np.zeros((height, width, C), np.float32)
+    out_depth = np.zeros((height, width), np.float32)
+    out_mask = np.zeros((height, width), np.float32)
+    fptr = ctypes.POINTER(ctypes.c_float)
+    lib.rasterize(
+        verts.ctypes.data_as(fptr), len(verts),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces),
+        attrs.ctypes.data_as(fptr), C, height, width,
+        out_attr.ctypes.data_as(fptr), out_depth.ctypes.data_as(fptr),
+        out_mask.ctypes.data_as(fptr))
+    return out_attr, out_depth, out_mask

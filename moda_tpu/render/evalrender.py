@@ -1,0 +1,63 @@
+"""Eval-time full-image rendering with host-level ray chunking.
+
+Equivalent of the reference's eval render path (render_vid at
+train_utils.py:1344-1362 + the chunked loop of nerf_render,
+moda.py:874-899) — but each chunk is a fixed-size jitted call (one
+compile), padded on the last chunk.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moda_tpu.fields.model import MoDAModel, ModelVars, Params
+from moda_tpu.render import rays as RB
+from moda_tpu.render.pipeline import render_rays
+
+
+def make_frame_renderer(model: MoDAModel, render_size: int, ndepth: int,
+                        chunk: int = 32768, render_vis: bool = True):
+    """Returns render_frame(params, mvars, rtk[1,4,4], kaug[1,4], frameid[1],
+    dataid[1]) -> dict of [render_size, render_size, C] images."""
+
+    @jax.jit
+    def _build(params, mvars, rtk, kaug, frameid, dataid):
+        return RB.build_rays_image(model, params, mvars, rtk, kaug, frameid,
+                                   dataid, render_size)
+
+    @jax.jit
+    def _render_chunk(params, mvars, rays_chunk, key):
+        return render_rays(model, params, mvars, rays_chunk, key, ndepth,
+                           fine_iter=False, render_vis=render_vis, perturb=0.0)
+
+    def render_frame(params: Params, mvars: ModelVars, rtk, kaug, frameid, dataid,
+                     key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
+        key = key if key is not None else jax.random.key(0)
+        rays = _build(params, mvars, rtk, kaug, frameid, dataid)
+        R = rays["rays_o"].shape[0]
+        outs = []
+        n_chunks = (R + chunk - 1) // chunk
+        for ci in range(n_chunks):
+            sl = {}
+            for k, v in rays.items():
+                if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == R:
+                    piece = v[ci * chunk:(ci + 1) * chunk]
+                    pad = chunk - piece.shape[0]
+                    if pad > 0:
+                        piece = jnp.concatenate(
+                            [piece, jnp.repeat(piece[-1:], pad, axis=0)], 0)
+                    sl[k] = piece
+                else:
+                    sl[k] = v
+            outs.append(_render_chunk(params, mvars, sl, key))
+        merged = {}
+        for k in outs[0]:
+            v = jnp.concatenate([o[k] for o in outs], 0)[:R]
+            merged[k] = np.asarray(v).reshape(render_size, render_size, -1)
+        return merged
+
+    return render_frame

@@ -71,7 +71,7 @@ class StepExtras(NamedTuple):
 
 def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
                     nsample: int, ndepth: int, use_fine: bool, use_dskin: bool,
-                    use_bones: bool, donate: bool = True):
+                    use_bones: bool, nsample_active: int = 0, donate: bool = True):
     cfg = model.cfg
 
     def loss_fn(params, mvars: ModelVars, batch, extras: StepExtras, key):
@@ -79,6 +79,7 @@ def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
         rtk_all3 = model.compute_rts(params)
         rtk = batch_rtk(model, params, rtk_all3, batch)
         rays = RB.build_rays(model, params, mvars, batch, rtk, k_rays, nsample,
+                             nsample_active=nsample_active,
                              embed_alpha=extras.embed_alpha)
         if not use_bones:
             # warmup epochs train without the deformation model

@@ -136,13 +136,21 @@ class Trainer:
     def make_optimizer(self):
         return MoDAOptimizer(self.cfg, total_steps=self.final_steps // self.cfg.accu_steps)
 
-    def get_step_fn(self, use_fine: bool, use_dskin: bool, use_bones: bool):
-        sig = (use_fine, use_dskin, use_bones, self.cfg.nsample, self.cfg.ndepth)
+    def get_step_fn(self, use_fine: bool, use_dskin: bool, use_bones: bool,
+                    is_active: bool = False):
+        cfg = self.cfg
+        # active sampling splits the budget (moda.py:1066-1071)
+        if is_active:
+            ns_active = int(cfg.nactive * cfg.nsample)
+            ns_uniform = int(cfg.nsample * (1 - cfg.nactive))
+        else:
+            ns_active, ns_uniform = 0, cfg.nsample
+        sig = (use_fine, use_dskin, use_bones, ns_uniform, ns_active, cfg.ndepth)
         if sig not in self._step_cache:
             self._step_cache[sig] = make_train_step(
-                self.model, self.optimizer, nsample=self.cfg.nsample,
-                ndepth=self.cfg.ndepth, use_fine=use_fine, use_dskin=use_dskin,
-                use_bones=use_bones, donate=False)
+                self.model, self.optimizer, nsample=ns_uniform,
+                ndepth=cfg.ndepth, use_fine=use_fine, use_dskin=use_dskin,
+                use_bones=use_bones, nsample_active=ns_active, donate=False)
         return self._step_cache[sig]
 
     # --------------------------------------------------------------- priors
@@ -324,7 +332,8 @@ class Trainer:
         use_fine = SCH.use_fine_samples(cfg, self.progress)
         use_dskin = SCH.use_dskin(cfg, epoch, cfg.num_epochs)
         use_bones = SCH.use_bones(cfg, epoch, self.is_fine_tune)
-        step_fn = self.get_step_fn(use_fine, use_dskin, use_bones)
+        is_active = cfg.use_unc and self.progress >= cfg.warmup_steps
+        step_fn = self.get_step_fn(use_fine, use_dskin, use_bones, is_active)
 
         for i in range(ITERS_PER_EPOCH * cfg.accu_steps):
             self.progress = self.total_steps_done / max(self.final_steps, 1)

@@ -10,14 +10,14 @@ from moda_tpu.core import se3 as SE3
 def make_bones(rng, B):
     center = rng.normal(size=(B, 3)).astype(np.float32)
     q = rng.normal(size=(B, 4)).astype(np.float32)
-    q = q / np.linalg.norm(q, -1, keepdims=True)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
     logscale = rng.normal(size=(B, 3)).astype(np.float32) * 0.1
     return np.concatenate([center, q, logscale], -1)
 
 
 def make_dqs(rng, bs, B):
     q = rng.normal(size=(bs, B, 4)).astype(np.float32)
-    q = q / np.linalg.norm(q, -1, keepdims=True)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
     t = rng.normal(size=(bs, B, 3)).astype(np.float32)
     return np.asarray(DQ.rt_to_dq(jnp.asarray(q), jnp.asarray(t))), q, t
 

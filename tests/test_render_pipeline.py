@@ -142,3 +142,25 @@ def test_lbs_mode(rng):
     rays, rendered = run_forward(cfg, model, params, mvars, batch, jax.random.key(1))
     assert np.isfinite(np.asarray(rendered["img_coarse"])).all()
     assert "frame_cyc_dis" in rendered
+
+
+def test_active_sampling(rng):
+    """Uncertainty-guided top-k sampling adds B*nsample_active rays per half."""
+    cfg, model, params, mvars = tiny_setup()
+    batch = tiny_batch(rng, cfg)
+
+    @jax.jit
+    def build(params, mvars, batch, key):
+        rtk = make_rtk(model, params, batch)
+        return RB.build_rays(model, params, mvars, batch, rtk, key, 2,
+                             nsample_active=2)
+
+    rays = build(params, mvars, batch, jax.random.key(0))
+    B = 2
+    R = 2 * (B * 2 + B * 2)
+    assert rays["rays_o"].shape == (R, 3)
+    assert rays["img_at_samp"].shape == (R, 3)
+    assert rays["bone_rts"].shape[0] == R
+    # paired halves: rtk_vec_target of ray i equals rtk_vec of ray i+R/2
+    np.testing.assert_allclose(np.asarray(rays["rtk_vec_target"][: R // 2]),
+                               np.asarray(rays["rtk_vec"][R // 2:]), atol=0)
