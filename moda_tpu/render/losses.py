@@ -147,6 +147,12 @@ def total_loss(
     aux["img_loss"] = img_loss
     total = img_loss + sil_loss
 
+    # S3IM structural loss (moda.py:560-563)
+    if cfg.s3im_loss and "s3im_loss" in rendered:
+        s3im = cfg.s3im_wt * rendered["s3im_loss"].mean()
+        total = total + s3im
+        aux["s3im_loss"] = s3im
+
     # feature rendering loss
     if cfg.use_embed:
         frnd = cfg.frnd_wt * rendered["frnd_loss_samp"] * keep

@@ -27,6 +27,7 @@ from moda_tpu.core import density as DN
 from moda_tpu.core import sampling as SP
 from moda_tpu.core import skinning as SK
 from moda_tpu.fields.model import MoDAModel, ModelVars, Params
+from moda_tpu.render.s3im import s3im_loss
 
 RayDict = Dict[str, jnp.ndarray]
 
@@ -415,6 +416,11 @@ def inference_deform(model, params, mvars, rays, xyz_sampled, z_vals, key, cfg,
             result["sil_loss_samp"] = sil_loss_samp
             result["flo_loss_samp"] = flo_loss_samp * sil_at_samp
             result["sil_at_samp_flo"] = sil_at_samp_flo.astype(rgb.dtype)
+
+            # stochastic structural similarity (rendering.py:528-532)
+            if cfg.s3im_loss and keys[4] is not None:
+                result["s3im_loss"] = s3im_loss(rgb, img_at_samp, sil_at_samp,
+                                                keys[4])[None, None]
 
             if cfg.use_embed and "feats_at_samp" in rays:
                 f = feat_rnd / jnp.maximum(jnp.linalg.norm(feat_rnd, axis=-1, keepdims=True), 1e-9)
