@@ -66,29 +66,33 @@ class MoDAModel:
         self.offset = tuple(int(o) for o in data_info.offset)
 
         dir_extra = (ENV_DIM if cfg.env_code else 0) + (APP_DIM if cfg.appearance_code else 0)
+        # field-MLP compute dtype: bfloat16 keeps matmuls on the MXU's native
+        # path (params stay fp32; flax Dense casts per-op; outputs are cast
+        # back to fp32 before density transform / compositing)
+        cdt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         self.nerf_coarse = nets.NeRFMLP(
             D=8, W=256, in_channels_xyz=IN_XYZ, in_channels_dir=IN_DIR + dir_extra,
-            out_channels=3, raw_feat=False,
+            out_channels=3, raw_feat=False, dtype=cdt,
         )
         self.nerf_feat = nets.NeRFMLP(
             D=5, W=128, in_channels_xyz=IN_XYZ, in_channels_dir=0,
-            out_channels=NUM_FEAT, raw_feat=True,
+            out_channels=NUM_FEAT, raw_feat=True, dtype=cdt,
         )
         self.nerf_vis = nets.NeRFMLP(
             D=5, W=64, in_channels_xyz=IN_XYZ, in_channels_dir=0,
-            out_channels=1, raw_feat=True,
+            out_channels=1, raw_feat=True, dtype=cdt,
         )
         self.nerf_unc = nets.NeRFMLP(
             D=8, W=256, in_channels_xyz=IN_XYZ, in_channels_dir=VID_DIM,
-            out_channels=1, raw_feat=True,
+            out_channels=1, raw_feat=True, dtype=cdt,
         )
         self.nerf_skin = nets.NeRFMLP(
             D=5, W=64, in_channels_xyz=IN_XYZ + cfg.t_embed_dim, in_channels_dir=0,
-            out_channels=cfg.num_bones, raw_feat=True,
+            out_channels=cfg.num_bones, raw_feat=True, dtype=cdt,
         )
         self.nerf_dis = nets.NeRFMLP(
             D=5, W=128, in_channels_xyz=IN_XYZ + cfg.t_embed_dim, in_channels_dir=0,
-            out_channels=3, raw_feat=True,
+            out_channels=3, raw_feat=True, dtype=cdt,
         )
         # 3D flow fields (flowbw mode, moda.py:285-299)
         self.nerf_flowbw = nets.Transhead(in_channels_xyz=IN_XYZ + cfg.t_embed_dim)

@@ -59,7 +59,7 @@ class NeRFMLP(nn.Module):
             h = nn.relu(h)
         sigma = nn.Dense(1, name="sigma", dtype=self.dtype)(h)
         if sigma_only:
-            return sigma
+            return sigma.astype(jnp.float32)
 
         input_dir = x[..., in_xyz:in_xyz + self.in_channels_dir]
         h_final = nn.Dense(self.W, name="xyz_final", dtype=self.dtype)(h)
@@ -68,9 +68,9 @@ class NeRFMLP(nn.Module):
         h_dir = nn.relu(h_dir)
         rgb = nn.Dense(self.out_channels, name="rgb", dtype=self.dtype)(h_dir)
         if self.raw_feat:
-            return rgb
+            return rgb.astype(jnp.float32)
         rgb = nn.sigmoid(rgb)
-        return jnp.concatenate([rgb, sigma], -1)
+        return jnp.concatenate([rgb, sigma], -1).astype(jnp.float32)
 
     def beta_init(self):
         return jnp.asarray([self.init_beta], dtype=jnp.float32)
