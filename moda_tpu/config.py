@@ -32,6 +32,7 @@ class MoDAConfig:
     config_dir: str = "configs"
     lineload: bool = False
     use_rtk_file: bool = False
+    debug: bool = False          # per-step timing + profiler hooks
 
     # model: shape, appearance, feature
     use_human: bool = False

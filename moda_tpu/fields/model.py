@@ -130,6 +130,12 @@ class MoDAModel:
 
     # ------------------------------------------------------------------ init
     def init(self, key: jax.Array) -> Tuple[Params, ModelVars]:
+        """Initialize all component params in ONE jitted program (the many
+        tiny per-module init compiles would each pay full TPU compile
+        latency otherwise)."""
+        return jax.jit(self._init_impl)(key)
+
+    def _init_impl(self, key: jax.Array) -> Tuple[Params, ModelVars]:
         cfg = self.cfg
         keys = iter(jax.random.split(key, 24))
         fid = jnp.zeros((2,), jnp.int32)

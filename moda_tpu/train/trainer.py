@@ -100,11 +100,22 @@ class Trainer:
             "obj_bound": np.asarray(self.mvars.obj_bound),
         }
         self.mesh_rest = Mesh()
-        # canonical shape prior vertices (CSE mesh equivalent): unit-max-abs
+        # canonical shape prior (CSE mesh equivalent). A reference-format
+        # mesh_material pkl can be injected via load_prior_mesh(); default
+        # is an icosphere with direction-coded surface embeddings.
         if prior_verts is None:
-            rng = np.random.default_rng(0)
-            p = rng.normal(size=(642, 3))
-            prior_verts = (p / np.linalg.norm(p, axis=-1, keepdims=True)).astype(np.float32)
+            from moda_tpu.viz.render_vis import unit_sphere
+            sv, sf = unit_sphere(2)
+            prior_verts = sv.astype(np.float32)
+            self.prior_faces = sf
+            freqs = np.arange(1, 4)[:, None]
+            enc = np.concatenate([
+                np.sin(freqs * np.pi * sv[:, None, :]),
+                np.cos(freqs * np.pi * sv[:, None, :])], 1).reshape(len(sv), 18)[:, :16]
+            self.prior_embeds = (enc / np.linalg.norm(enc, -1, keepdims=True)).astype(np.float32)
+        else:
+            self.prior_faces = np.zeros((0, 3), np.int32)
+            self.prior_embeds = np.zeros((len(prior_verts), 16), np.float32)
         self.prior_verts_unit = prior_verts / np.abs(prior_verts).max()
 
         self.total_steps_done = 0
@@ -272,6 +283,61 @@ class Trainer:
             stored = SK.bone_transform_rts(bones_desired, rts_rst)[0]
         self.params["bones"] = stored
 
+    def load_prior_mesh(self, pkl_path: str):
+        """Load a reference-format canonical mesh pkl ({'vertices','faces'})
+        as the shape/pose prior (moda.py:409-434)."""
+        import pickle
+        with open(pkl_path, "rb") as f:
+            dp = pickle.load(f)
+        v = np.asarray(dp["vertices"], np.float32)
+        v = v - v.mean(0, keepdims=True)
+        self.prior_verts_unit = v / np.abs(v).max()
+        self.prior_faces = np.asarray(dp["faces"], np.int32)
+        self.prior_embeds = np.zeros((len(v), 16), np.float32)
+
+    def warmup_pose(self, num_epochs: int):
+        """Train the pose CNN on rasterized prior-mesh features, then
+        initialize per-frame cameras from the observed features
+        (train_utils.py:871-921). Requires per-frame dp features from the
+        loader datasets; with zero features the CNN path is skipped."""
+        from moda_tpu.train.warmup_pose import PoseWarmup
+        nf = np.asarray(self.mvars.near_far)
+        d_mean = float(nf.mean()) * self.model.obj_scale
+        w = PoseWarmup(self.prior_verts_unit, self.prior_faces, self.prior_embeds,
+                       d_mean=d_mean)
+        losses = w.train(steps=num_epochs * ITERS_PER_EPOCH // 10, bs=8)
+        self._log({"warmup_pose_rot_loss": float(np.mean(losses[-5:]))})
+        self.pose_cnn = w
+        return w
+
+    def eval_renders(self, epoch: int, num_frames: int = 9):
+        """Per-epoch qualitative renders (train_utils.py:695-704): a grid of
+        frames rendered at render_size, written as PNGs."""
+        import cv2
+        from moda_tpu.render.evalrender import make_frame_renderer
+        if not hasattr(self, "_frame_renderer"):
+            self._frame_renderer = make_frame_renderer(
+                self.model, self.cfg.render_size, self.cfg.ndepth, chunk=self.cfg.chunk)
+        ids = np.linspace(0, self.data_info.num_fr - 1, num_frames, dtype=int)
+        tiles = []
+        for fi in ids:
+            rtk = jnp.asarray(self.latest_vars["rtk"][fi])[None]
+            kaug = jnp.asarray([[1.0, 1.0, 0.0, 0.0]])
+            out = self._frame_renderer(self.params, self.mvars, rtk, kaug,
+                                       jnp.asarray([fi]), jnp.zeros((1,), jnp.int32))
+            rgb = np.clip(out["img_coarse"], 0, 1)
+            sil = np.repeat(np.clip(out["sil_coarse"], 0, 1), 3, axis=-1)
+            tiles.append(np.concatenate([rgb, sil], axis=1))
+        n = int(np.ceil(np.sqrt(len(tiles))))
+        H, W, _ = tiles[0].shape
+        grid = np.ones((n * H, n * W, 3), np.float32)
+        for i, t in enumerate(tiles):
+            r, c = divmod(i, n)
+            grid[r * H:(r + 1) * H, c * W:(c + 1) * W] = t
+        path = os.path.join(self.save_dir, f"eval-{epoch:03d}.png")
+        cv2.imwrite(path, (grid[..., ::-1] * 255).astype(np.uint8))
+        return path
+
     # ------------------------------------------------------------ main loop
     def train(self):
         cfg = self.cfg
@@ -280,6 +346,9 @@ class Trainer:
 
         if cfg.warmup_shape_ep > 0:
             self.warmup_shape(cfg.warmup_shape_ep)
+
+        if cfg.warmup_pose_ep > 0 and self.prior_embeds.any():
+            self.warmup_pose(cfg.warmup_pose_ep)
 
         if cfg.warmup_rootmlp and self.latest_vars["idk"].sum() > 0:
             self.preset_rootmlp()
@@ -305,6 +374,13 @@ class Trainer:
             self.train_one_epoch(epoch, shape_samp, shape_samp_valid)
             self.save("latest")
             self.save(str(epoch + 1))
+            if self.cfg.render_size > 0 and jax.process_index() == 0 \
+                    and self.latest_vars["idk"].sum() > 0 \
+                    and (epoch % max(1, self.cfg.num_epochs // 20) == 0):
+                try:
+                    self.eval_renders(epoch)
+                except Exception as e:  # rendering must never kill training
+                    self._log({"eval_render_error": str(e)})
             self._log({"epoch": epoch, "epoch_time": time.time() - t_ep,
                        "mesh_verts": len(self.mesh_rest.vertices)})
 
@@ -354,12 +430,19 @@ class Trainer:
                 embed_alpha=jnp.asarray(
                     SCH.embedding_alpha(cfg, self.progress), jnp.float32),
             )
+            t_load0 = time.time()
             batch = next(self.loader)
             batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            t_load = time.time() - t_load0
 
+            t_step0 = time.time()
             self.params, self.opt_state, aux, host_out = step_fn(
                 self.params, self.opt_state, self.mvars, batch_dev, extras,
                 self._next_key())
+            if self.cfg.debug:
+                jax.block_until_ready(aux["total_loss"])
+                self._log({"t_load": t_load, "t_step": time.time() - t_step0,
+                           "step": self.total_steps_done})
 
             # host bookkeeping (save_latest_vars, moda.py:1497-1513 + filter)
             fid = np.asarray(batch["frameid"])

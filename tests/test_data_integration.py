@@ -1,0 +1,90 @@
+"""End-to-end data-path integration: on-disk DAVIS layout -> datasets ->
+loader -> one training step. Exercises the same file formats the
+reference's dataloader consumes (vidbase.py:68-174)."""
+import os
+
+import numpy as np
+import cv2
+import pytest
+
+from moda_tpu.preproc import pipeline as PP
+
+
+@pytest.fixture(scope="module")
+def davis_db(tmp_path_factory):
+    root = tmp_path_factory.mktemp("db")
+    seq = "toyseq"
+    img_dir = root / "JPEGImages" / "Full-Resolution" / seq
+    ann_dir = root / "Annotations" / "Full-Resolution" / seq
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+    rng = np.random.default_rng(0)
+    n, H, W = 6, 64, 80
+    for i in range(n):
+        img = (rng.uniform(size=(H, W, 3)) * 255).astype(np.uint8)
+        # a moving bright square as the "object"
+        x0 = 10 + 6 * i
+        img[20:44, x0:x0 + 24] = [250, 120, 30]
+        cv2.imwrite(str(img_dir / ("%05d.jpg" % i)), img)
+        mask = np.zeros((H, W), np.uint8)
+        mask[20:44, x0:x0 + 24] = 128
+        cv2.imwrite(str(ann_dir / ("%05d.png" % i)), mask)
+    PP.compute_flows(str(img_dir), str(root), seq, dframes=(1, 2))
+    cfg_dir = root / "configs"
+    PP.write_config(str(cfg_dir), seq, str(img_dir), (H, W))
+    return root, seq
+
+
+def test_build_datasets_and_pairs(davis_db):
+    root, seq = davis_db
+    from moda_tpu.data.dataset import build_datasets, collate_pairs, data_offsets
+
+    ds = build_datasets(seq, img_size=32, config_dir=str(root / "configs"))
+    assert len(ds) == 1 and ds[0].num_frames == 6
+    pair = ds[0].sample_pair(np.random.default_rng(1), idx=2)
+    p0 = pair["frames"][0]
+    assert p0["imgs"].shape == (3, 32 * 32)
+    assert p0["masks"].max() == 1.0
+    assert np.isfinite(p0["flow"]).all()
+    batch = collate_pairs([pair, ds[0].sample_pair(np.random.default_rng(2), idx=0)],
+                          data_offsets(ds))
+    assert batch["imgs"].shape == (4, 3, 1024)
+    assert batch["frameid"].shape == (4,)
+
+
+def test_loader_and_train_step(davis_db):
+    root, seq = davis_db
+    import jax
+    import jax.numpy as jnp
+
+    from moda_tpu.config import DataInfo, MoDAConfig
+    from moda_tpu.data.dataset import PairLoader, build_datasets, data_offsets
+    from moda_tpu.fields.model import MoDAModel
+    from moda_tpu.train.optim import MoDAOptimizer
+    from moda_tpu.train.step import StepExtras, make_train_step
+
+    ds = build_datasets(seq, img_size=32, config_dir=str(root / "configs"))
+    loader = PairLoader(ds, batch_size=2, num_threads=1)
+    batch = next(loader)
+    loader.close()
+
+    cfg = MoDAConfig(num_bones=3, img_size=32, nsample=4, ndepth=8,
+                     feat_ndepth_grid=4, use_embed=False)
+    info = DataInfo(offset=data_offsets(ds), intrinsics=((80.0, 80.0, 40.0, 32.0),))
+    model = MoDAModel(cfg, info)
+    params, mvars = model.init(jax.random.key(0))
+    opt = MoDAOptimizer(cfg, total_steps=10)
+    step = make_train_step(model, opt, nsample=cfg.nsample, ndepth=cfg.ndepth,
+                           use_fine=False, use_dskin=False, use_bones=True,
+                           donate=False)
+    extras = StepExtras(
+        progress=jnp.asarray(0.1), loss_select=jnp.asarray(1),
+        root_update=jnp.asarray(1.0), body_update=jnp.asarray(1.0),
+        shape_update=jnp.asarray(0.0), cvf_update=jnp.asarray(0.0),
+        sil_err_median=jnp.asarray(1e9), shape_samp=jnp.zeros((16, 3)),
+        shape_samp_valid=jnp.asarray(0.0), embed_alpha=jnp.asarray(10.0))
+    batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+    p2, s2, aux, host_out = step(params, opt.init(params), mvars, batch_dev,
+                                 extras, jax.random.key(0))
+    assert np.isfinite(float(aux["total_loss"]))
+    assert host_out["rtk"].shape == (4, 4, 4)
