@@ -258,6 +258,22 @@ def total_loss(
         aux["unc_loss"] = unc_loss
         total = total + unc_loss
 
+    # freeze_coarse distillation: pin trunk input-layer kernels to their
+    # loaded values (moda.py:733-755, compute_xyz_wt_loss)
+    if cfg.freeze_coarse and "xyz_wt_snapshot" in extras:
+        snap = extras["xyz_wt_snapshot"]
+        for comp, label in (("nerf_coarse", "shape"), ("nerf_skin", "skin"),
+                            ("nerf_feat", "feat")):
+            if comp not in snap or comp not in params:
+                continue
+            terms = []
+            for layer, kern0 in snap[comp].items():
+                kern = params[comp][layer]["kernel"]
+                terms.append(((jax.lax.stop_gradient(kern0) - kern) ** 2).mean())
+            wt_loss = 100.0 * jnp.stack(terms).mean()
+            aux[f"{label}_xyz_wt_loss"] = wt_loss
+            total = total + wt_loss
+
     if cfg.lbs or cfg.neudbs:
         aux["skin_scale"] = jax.lax.stop_gradient(params["skin_aux"][0])
         aux["skin_const"] = jax.lax.stop_gradient(params["skin_aux"][1])

@@ -131,6 +131,35 @@ def clip_by_group(grads: Params, clip_scale: float) -> Tuple[Params, Dict[str, j
     return out, norms
 
 
+INPUT_LAYERS = ("xyz_1", "xyz_5")  # trunk input + skip re-injection layers
+POS_DIM = 63  # positional-embedding rows of the input kernels
+
+
+def _freeze_coarse_component(comp_grads):
+    """freeze_coarse grad surgery for one NeRF trunk
+    (find_nerf_coarse, train_utils.py:1313-1342): zero everything except
+    the positional rows of the input-layer kernels."""
+
+    def walk(node):
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                if k in INPUT_LAYERS and "kernel" in v:
+                    kern = v["kernel"]
+                    mask = (jnp.arange(kern.shape[0]) < POS_DIM)[:, None]
+                    out[k] = {
+                        "kernel": kern * mask,
+                        **{n: jnp.zeros_like(x) for n, x in v.items() if n != "kernel"},
+                    }
+                else:
+                    out[k] = walk(v)
+            else:
+                out[k] = jnp.zeros_like(v)
+        return out
+
+    return walk(comp_grads)
+
+
 def apply_freeze_masks(grads: Params, indicators: Dict[str, jnp.ndarray], cfg) -> Params:
     """Zero grads for frozen groups (train_utils.py:1234-1279).
 
@@ -162,6 +191,16 @@ def apply_freeze_masks(grads: Params, indicators: Dict[str, jnp.ndarray], cfg) -
     for k in ("nerf_feat", "nerf_beta_feat", "csenet"):
         if k in out:
             out[k] = mask(out[k], cvf_on)
+
+    if cfg.freeze_coarse:
+        # only the positional input rows of coarse/skin/feat trunks train;
+        # bones/skin_aux/vis fully frozen (train_utils.py:1256-1279)
+        for k in ("nerf_coarse", "nerf_skin", "nerf_feat"):
+            if k in out:
+                out[k] = _freeze_coarse_component(out[k])
+        for k in ("bones", "skin_aux", "nerf_vis"):
+            if k in out:
+                out[k] = mask(out[k], 0.0)
     return out
 
 

@@ -71,7 +71,8 @@ class StepExtras(NamedTuple):
 
 def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
                     nsample: int, ndepth: int, use_fine: bool, use_dskin: bool,
-                    use_bones: bool, nsample_active: int = 0, donate: bool = True):
+                    use_bones: bool, nsample_active: int = 0, donate: bool = True,
+                    xyz_wt_snapshot=None):
     cfg = model.cfg
 
     def loss_fn(params, mvars: ModelVars, batch, extras: StepExtras, key):
@@ -104,6 +105,8 @@ def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
             "shape_samp_valid": extras.shape_samp_valid,
             "progress": extras.progress,
         }
+        if cfg.freeze_coarse and xyz_wt_snapshot is not None:
+            loss_extras["xyz_wt_snapshot"] = xyz_wt_snapshot
         rtk_all = jnp.zeros((model.num_fr, 4, 4)).at[:, :3].set(rtk_all3)
         total, aux = L.total_loss(model, params, mvars, rendered, rays, rtk_all,
                                   loss_extras, k_loss)

@@ -161,7 +161,8 @@ class Trainer:
             self._step_cache[sig] = make_train_step(
                 self.model, self.optimizer, nsample=ns_uniform,
                 ndepth=cfg.ndepth, use_fine=use_fine, use_dskin=use_dskin,
-                use_bones=use_bones, nsample_active=ns_active, donate=False)
+                use_bones=use_bones, nsample_active=ns_active, donate=False,
+                xyz_wt_snapshot=getattr(self, "xyz_wt_snapshot", None))
         return self._step_cache[sig]
 
     # --------------------------------------------------------------- priors
@@ -356,6 +357,19 @@ class Trainer:
         if not self.is_fine_tune:
             self.reset_nf()
         self.latest_vars["idk"][:] = 0
+
+        # snapshot trunk input-layer kernels for freeze_coarse distillation
+        # (grab_xyz_weights clone=True, train_utils.py:680-688)
+        if cfg.freeze_coarse:
+            from moda_tpu.train.optim import INPUT_LAYERS
+            snap = {}
+            for comp in ("nerf_coarse", "nerf_skin", "nerf_feat"):
+                if comp in self.params:
+                    snap[comp] = {
+                        l: jnp.array(self.params[comp][l]["kernel"])
+                        for l in INPUT_LAYERS if l in self.params[comp]
+                    }
+            self.xyz_wt_snapshot = snap
 
         shape_samp = np.zeros((1000, 3), np.float32)
         shape_samp_valid = 0.0

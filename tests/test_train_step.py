@@ -121,3 +121,15 @@ def test_train_step_without_bones(rng):
     extras = default_extras(model, jax.random.key(9))
     p, s, aux, _ = step(params, opt.init(params), mvars, batch, extras, jax.random.key(0))
     assert np.isfinite(float(aux["total_loss"]))
+
+
+def test_freeze_coarse_surgery(rng):
+    """freeze_coarse: only positional input-kernel rows keep gradients."""
+    from moda_tpu.train.optim import _freeze_coarse_component, POS_DIM
+    g = {"xyz_1": {"kernel": jnp.ones((191, 64)), "bias": jnp.ones(64)},
+         "xyz_2": {"kernel": jnp.ones((64, 64)), "bias": jnp.ones(64)}}
+    out = _freeze_coarse_component(g)
+    k = np.asarray(out["xyz_1"]["kernel"])
+    assert (k[:POS_DIM] == 1).all() and (k[POS_DIM:] == 0).all()
+    assert (np.asarray(out["xyz_1"]["bias"]) == 0).all()
+    assert (np.asarray(out["xyz_2"]["kernel"]) == 0).all()
