@@ -26,8 +26,7 @@ def dq_mul(dq1: jnp.ndarray, dq2: jnp.ndarray) -> jnp.ndarray:
 
 def dq_normalize(dq: jnp.ndarray, eps: float = _EPS) -> jnp.ndarray:
     """Divide both parts by |q_r| (dual_quat.py:51-62)."""
-    norm = jnp.linalg.norm(dq[..., :4], axis=-1, keepdims=True)
-    return dq / jnp.maximum(norm, eps)
+    return dq / jnp.maximum(Q.safe_norm(dq[..., :4], keepdims=True), eps)
 
 
 def dq_quaternion_conjugate(dq: jnp.ndarray) -> jnp.ndarray:

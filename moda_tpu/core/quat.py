@@ -13,10 +13,21 @@ import jax.numpy as jnp
 _EPS = 1e-9
 
 
+def safe_norm(x: jnp.ndarray, axis: int = -1, keepdims: bool = False,
+              eps: float = 1e-12) -> jnp.ndarray:
+    """L2 norm with a zero-safe gradient.
+
+    jnp.linalg.norm has a NaN gradient at exactly 0 (d|x|/dx = x/|x|);
+    sqrt(max(sum(x^2), eps^2)) selects the constant branch there, giving a
+    zero gradient instead. Exact for |x| > eps.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(sq, eps * eps))
+
+
 def q_normalize(q: jnp.ndarray, eps: float = _EPS) -> jnp.ndarray:
     """Normalize quaternion(s) of shape [..., 4]."""
-    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(norm, eps)
+    return q / jnp.maximum(safe_norm(q, keepdims=True), eps)
 
 
 def q_mul(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
@@ -112,9 +123,11 @@ def matrix_to_q(m: jnp.ndarray) -> jnp.ndarray:
 def axis_angle_to_q(aa: jnp.ndarray) -> jnp.ndarray:
     """Axis-angle [..., 3] -> quaternion [..., 4].
 
-    Matches the Taylor-guarded formula at nerf.py:280-305 of the reference.
+    Matches the Taylor-guarded formula at nerf.py:280-305 of the reference;
+    safe_norm keeps the gradient finite at exactly zero rotation (the
+    RTExplicit delta table initializes there).
     """
-    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    angle = safe_norm(aa, keepdims=True)
     half = 0.5 * angle
     eps = 1e-6
     small = angle < eps

@@ -63,7 +63,7 @@ def eikonal_loss(model, params, pts: jnp.ndarray, bound: jnp.ndarray,
     else:
         g = jax.vmap(jax.grad(lambda p: sdf_fn(p[None])[0]))(pts)
 
-    grad_norm = jnp.linalg.norm(g, axis=-1)
+    grad_norm = Q.safe_norm(g)
     return masked_mean((grad_norm - 1.0) ** 2, inb)
 
 
@@ -83,7 +83,7 @@ def compute_root_sm_2nd_loss(rtk_all: jnp.ndarray, data_offset) -> jnp.ndarray:
         rot_sm = rot1 @ jnp.swapaxes(rot2, -1, -2)
         trn_sm = (stt[:, :3, 3] - mid[:, :3, 3]) - (mid[:, :3, 3] - end[:, :3, 3])
         rot_terms.append(Q.rot_angle(rot_sm))
-        trn_terms.append(jnp.linalg.norm(trn_sm, axis=-1))
+        trn_terms.append(Q.safe_norm(trn_sm))
     if not rot_terms:
         return jnp.asarray(0.0)
     rot_loss = jnp.concatenate(rot_terms).mean() * 1e-1

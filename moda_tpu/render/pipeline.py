@@ -25,6 +25,7 @@ from moda_tpu.config import MoDAConfig
 from moda_tpu.core import camera as cam
 from moda_tpu.core import density as DN
 from moda_tpu.core import sampling as SP
+from moda_tpu.core import quat as Q
 from moda_tpu.core import skinning as SK
 from moda_tpu.fields.model import MoDAModel, ModelVars, Params
 from moda_tpu.render.s3im import s3im_loss
@@ -268,7 +269,7 @@ def inference_deform(model, params, mvars, rays, xyz_sampled, z_vals, key, cfg,
             xyz_ce = model.embed_xyz(xyz_canonical, alpha)
             flow_fw = model.nerf_flowfw.apply(
                 {"params": params["nerf_flowfw"]}, jnp.concatenate([xyz_ce, code], -1))
-            result["frame_cyc_dis_raw"] = jnp.linalg.norm(flow_bw + flow_fw, axis=-1)
+            result["frame_cyc_dis_raw"] = Q.safe_norm(flow_bw + flow_fw)
             if "time_embedded_target" in rays:
                 code_t = jnp.broadcast_to(
                     rays["time_embedded_target"][:, None, :], (R, S, time_embedded.shape[-1]))
@@ -279,13 +280,13 @@ def inference_deform(model, params, mvars, rays, xyz_sampled, z_vals, key, cfg,
         xyz_canonical, skin_bw, dis_bw = _backward_warp(
             model, params, rays, xyz_sampled, time_embedded, alpha, use_dskin=use_dskin)
         if cfg.nerf_dis and dis_bw is not None:
-            result["dis_reg"] = jnp.linalg.norm(dis_bw, axis=-1)
+            result["dis_reg"] = Q.safe_norm(dis_bw)
         if fine_iter:
             rest_code = jnp.broadcast_to(
                 rays["rest_pose_code"], (R, rays["rest_pose_code"].shape[-1]))
             xyz_cyc, skin_fw = _forward_warp(
                 model, params, rays, xyz_canonical, rays["bone_rts"], rest_code, alpha, use_dskin=use_dskin)
-            result["frame_cyc_dis_raw"] = jnp.linalg.norm(xyz_coarse_frame - xyz_cyc, axis=-1)
+            result["frame_cyc_dis_raw"] = Q.safe_norm(xyz_coarse_frame - xyz_cyc)
             if cfg.dist_corresp and "bone_rts_target" in rays:
                 if cfg.neudbs:
                     xyz_coarse_target, _ = SK.neu_dbs(
@@ -338,7 +339,7 @@ def inference_deform(model, params, mvars, rays, xyz_sampled, z_vals, key, cfg,
             pts_pred, prob_vol = feat_match(
                 model, params, feats_at_samp, mvars.obj_bound, cfg.feat_ndepth_grid,
                 keys[2], cfg.use_ot, is_training=fine_iter, embed_alpha=alpha)
-            feat_err = jnp.linalg.norm(pts_pred - pts_exp, axis=-1)
+            feat_err = Q.safe_norm(pts_pred - pts_exp)
             result["pts_pred"] = pts_pred
             result["pts_exp"] = pts_exp
             result["feat_err"] = feat_err[..., None]
@@ -350,7 +351,7 @@ def inference_deform(model, params, mvars, rays, xyz_sampled, z_vals, key, cfg,
             if cfg.use_proj:
                 xy_reproj = kp_reproj(model, params, rays, pts_pred, to_target=False,
                                       embed_alpha=alpha, use_dskin=use_dskin)
-                proj_err = jnp.linalg.norm(rays["xys"][:, None, :] - xy_reproj[..., :2], axis=-1)
+                proj_err = Q.safe_norm(rays["xys"][:, None, :] - xy_reproj[..., :2])
                 result["proj_err"] = proj_err / cfg.img_size * 2.0
 
         # root-space correspondence in the paired frame (rendering.py:439-449)
@@ -423,7 +424,7 @@ def inference_deform(model, params, mvars, rays, xyz_sampled, z_vals, key, cfg,
                                                 keys[4])[None, None]
 
             if cfg.use_embed and "feats_at_samp" in rays:
-                f = feat_rnd / jnp.maximum(jnp.linalg.norm(feat_rnd, axis=-1, keepdims=True), 1e-9)
+                f = feat_rnd / jnp.maximum(Q.safe_norm(feat_rnd, keepdims=True), 1e-9)
                 frnd = jnp.mean((f - rays["feats_at_samp"]) ** 2, -1)
                 result["frnd_loss_samp"] = (frnd * sil_at_samp[..., 0])[..., None]
 

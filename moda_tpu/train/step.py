@@ -67,6 +67,7 @@ class StepExtras(NamedTuple):
     shape_samp: jnp.ndarray        # [S,3] canonical surface samples
     shape_samp_valid: jnp.ndarray  # {0,1}
     embed_alpha: jnp.ndarray       # scalar frequency window
+    base_rt: jnp.ndarray = None    # [num_fr,3,4] prior cameras (use_cam) or None
 
 
 def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
@@ -77,7 +78,8 @@ def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
 
     def loss_fn(params, mvars: ModelVars, batch, extras: StepExtras, key):
         k_rays, k_render, k_loss = jax.random.split(key, 3)
-        rtk_all3 = model.compute_rts(params)
+        base_rt = extras.base_rt if cfg.use_cam else None
+        rtk_all3 = model.compute_rts(params, base_rt=base_rt)
         rtk = batch_rtk(model, params, rtk_all3, batch)
         rays = RB.build_rays(model, params, mvars, batch, rtk, k_rays, nsample,
                              nsample_active=nsample_active,

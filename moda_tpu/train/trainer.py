@@ -443,6 +443,8 @@ class Trainer:
                 shape_samp_valid=jnp.asarray(shape_samp_valid, jnp.float32),
                 embed_alpha=jnp.asarray(
                     SCH.embedding_alpha(cfg, self.progress), jnp.float32),
+                base_rt=(jnp.asarray(self.latest_vars["rt_raw"]) if cfg.use_cam
+                         else jnp.zeros((self.data_info.num_fr, 3, 4))),
             )
             t_load0 = time.time()
             batch = next(self.loader)

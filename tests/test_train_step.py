@@ -133,3 +133,20 @@ def test_freeze_coarse_surgery(rng):
     assert (k[:POS_DIM] == 1).all() and (k[POS_DIM:] == 0).all()
     assert (np.asarray(out["xyz_1"]["bias"]) == 0).all()
     assert (np.asarray(out["xyz_2"]["kernel"]) == 0).all()
+
+
+def test_use_cam_grads_finite(rng):
+    """Regression: use_cam=True (so3 delta table at exact zeros) must not
+    produce NaN gradients (safe_norm in axis_angle_to_q)."""
+    cfg, model, params, mvars = tiny_setup(use_cam=True)
+    batch = tiny_batch(rng, cfg)
+    opt = MoDAOptimizer(cfg, total_steps=10)
+    step = make_train_step(model, opt, nsample=cfg.nsample, ndepth=cfg.ndepth,
+                           use_fine=False, use_dskin=False, use_bones=True,
+                           donate=False)
+    ex = default_extras(model, jax.random.key(9))
+    ex = ex._replace(base_rt=jnp.tile(
+        jnp.concatenate([jnp.eye(3), jnp.asarray([[0.0], [0.0], [0.3]])], 1)[None],
+        (model.num_fr, 1, 1)))
+    p, s, aux, _ = step(params, opt.init(params), mvars, batch, ex, jax.random.key(0))
+    assert float(aux["grad_finite"]) == 1.0, "NaN gradients with use_cam"
