@@ -22,15 +22,26 @@ def main(argv=None):
     from moda_tpu.train.trainer import Trainer
 
     cfg = parse_config(argv)
-    datasets = build_datasets(cfg.seqname, cfg.img_size, cfg.config_dir,
-                              rtk_base=cfg.rtk_path or None)
+    # lineload: prefer the reference's pre-sharded pixel rows when present
+    datasets = None
+    if cfg.lineload:
+        import os
+        from moda_tpu.config import load_seq_config
+        from moda_tpu.data.dataset import build_line_datasets
+        seqs = load_seq_config(cfg.seqname, cfg.config_dir)
+        pixels = seqs[0].image_list()[0].replace("JPEGImages", "Pixels").rsplit("/", 1)[0]
+        if os.path.isdir(pixels):
+            datasets = build_line_datasets(cfg.seqname, cfg.img_size, cfg.config_dir,
+                                           rtk_base=cfg.rtk_path or None)
+    if datasets is None:
+        datasets = build_datasets(cfg.seqname, cfg.img_size, cfg.config_dir,
+                                  rtk_base=cfg.rtk_path or None)
     offsets = data_offsets(datasets)
     intrinsics = []
     from moda_tpu.config import load_seq_config
     for s in load_seq_config(cfg.seqname, cfg.config_dir):
         intrinsics.append(tuple(s.ks))
-    impath = tuple(p for d in datasets for p in d.reader.paths.imglist)
-    info = DataInfo(offset=offsets, impath=impath, intrinsics=tuple(intrinsics))
+    info = DataInfo(offset=offsets, intrinsics=tuple(intrinsics))
 
     import jax
     loader = PairLoader(datasets, cfg.batch_size, seed=0,
@@ -42,12 +53,15 @@ def main(argv=None):
         rtks = []
         ok = True
         for d in datasets:
+            rtklist = getattr(d, "rtklist", None)
+            if rtklist is None:
+                rtklist = d.reader.paths.rtklist
             for i in range(d.num_frames):
                 try:
-                    rtk = np.loadtxt(d.reader.paths.rtklist[i])
+                    rtk = np.loadtxt(rtklist[i])
                     rtk[:3, 3] /= trainer.model.obj_scale
                     rtks.append(rtk)
-                except (FileNotFoundError, OSError):
+                except (FileNotFoundError, OSError, TypeError):
                     ok = False
         if ok and rtks:
             trainer.set_cameras_from_rtk_files(np.stack(rtks).astype(np.float32))

@@ -119,6 +119,12 @@ def collate_pairs(pairs: List[Dict], offsets) -> Dict[str, np.ndarray]:
     batch["frameid_sub"] = fid.astype(np.int32)
     batch["frameid"] = (fid + offsets[did]).astype(np.int32)
     batch["dataid"] = did.astype(np.int32)
+    if "lineid" in pairs[0]:
+        lid = np.concatenate([
+            np.stack([p["lineid"][0] for p in pairs]),
+            np.stack([p["lineid"][1] for p in pairs]),
+        ])
+        batch["lineid"] = lid.astype(np.int32)
     return batch
 
 
@@ -171,3 +177,87 @@ class PairLoader:
 
     def close(self):
         self._stop.set()
+
+
+class LineShardDataset:
+    """Drop-in reader for the reference's pre-sharded pixel rows
+    (preprocess/img2lines.py:33-107 + utils/io.py:380-454):
+    ``Pixels/<seq>/<dframe>_<frameid>/%04d.npy`` holding per-row dicts
+    {img [1,2,3,W], mask, vis2d, flow [1,2,2,W], occ, dp, dp_feat_rsmp
+    [1,2,16,W]} plus ``rtk.npy`` {'rtk','kaug'}. Produces the same pair
+    layout as VideoDataset.sample_pair, with one row per sample (lineid)."""
+
+    def __init__(self, pixels_dir: str, imglist: List[str], img_size: int,
+                 dataid: int = 0, rtklist: Optional[List[str]] = None):
+        self.pixels_dir = pixels_dir
+        self.img_size = img_size
+        self.dataid = dataid
+        self.num_frames = len(imglist)
+        self.rtklist = rtklist
+
+    def _load_rtk(self, idt: int) -> Optional[np.ndarray]:
+        if self.rtklist is None:
+            return None
+        try:
+            return np.loadtxt(self.rtklist[idt])
+        except (OSError, FileNotFoundError):
+            return None
+
+    def sample_pair(self, rng: np.random.Generator, idx: Optional[int] = None,
+                    idy: Optional[int] = None) -> Dict[str, np.ndarray]:
+        max_id = self.num_frames - 1
+        idt = int(rng.integers(0, max_id)) if idx is None else idx
+        idy = int(rng.integers(0, self.img_size)) if idy is None else idy
+        cands = [1] + [d for d in DFRAME_CANDIDATES
+                       if idt % d == 0 and idt + d <= max_id]
+        dframe = int(rng.choice(cands))
+        shard = os.path.join(self.pixels_dir, f"{dframe}_{idt:05d}")
+        row = np.load(os.path.join(shard, "%04d.npy" % idy), allow_pickle=True).item()
+        meta = np.load(os.path.join(shard, "rtk.npy"), allow_pickle=True).item()
+        kaug = np.asarray(meta["kaug"]).reshape(2, 4)
+
+        rtk0 = self._load_rtk(idt)
+        rtk1 = self._load_rtk(idt + dframe)
+        if rtk0 is None or rtk1 is None:
+            rtk = np.asarray(meta.get("rtk", np.tile(np.eye(4)[None], (1, 2, 1, 1))))
+            rtk = rtk.reshape(2, 4, 4)
+        else:
+            rtk = np.stack([rtk0, rtk1])
+
+        def pack(j):
+            d = {
+                "imgs": np.asarray(row["img"]).reshape(2, 3, -1)[j],
+                "masks": np.asarray(row["mask"]).reshape(2, 1, -1)[j],
+                "vis2d": np.asarray(row["vis2d"]).reshape(2, 1, -1)[j],
+                "flow": np.asarray(row["flow"]).reshape(2, 2, -1)[j],
+                "occ": np.asarray(row["occ"]).reshape(2, 1, -1)[j],
+                "dp_feats": np.asarray(row["dp_feat_rsmp"]).reshape(2, 16, -1)[j],
+                "rtk": rtk[j].astype(np.float32),
+                "kaug": kaug[j].astype(np.float32),
+            }
+            d["masks"] = ((d["masks"] * d["vis2d"]) > 0).astype(np.float32)
+            return d
+
+        return {
+            "frames": (pack(0), pack(1)),
+            "frameid": np.asarray([idt, idt + dframe], np.int32),
+            "dataid": np.asarray([self.dataid, self.dataid], np.int32),
+            "lineid": np.asarray([idy, idy], np.int32),
+        }
+
+
+def build_line_datasets(seqname: str, img_size: int, config_dir: str = "configs",
+                        rtk_base: Optional[str] = None) -> List[LineShardDataset]:
+    """Line-shard datasets from configs/<seq>.config + Pixels/ shards."""
+    seqs = load_seq_config(seqname, config_dir)
+    out = []
+    for i, s in enumerate(seqs):
+        imgs = s.image_list()
+        seqdir = os.path.basename(os.path.dirname(imgs[0]))
+        pixels_dir = imgs[0].replace("JPEGImages", "Pixels").rsplit("/", 1)[0]
+        rtk_path = rtk_base + "/" + seqdir if rtk_base else s.rtk_path
+        rtklist = (["%s-%05d.txt" % (rtk_path, k) for k in range(len(imgs))]
+                   if rtk_path else None)
+        out.append(LineShardDataset(pixels_dir, imgs, img_size, dataid=i,
+                                    rtklist=rtklist))
+    return out

@@ -74,3 +74,23 @@ def test_bones_to_mesh_and_turntable():
     frames = render_turntable(mesh, num_views=2, size=48)
     assert len(frames) == 2 and frames[0].shape == (48, 48, 3)
     assert (frames[0] < 0.99).any()
+
+
+def test_cse_distillation_learns():
+    """CSENet distills toward target features on a fixed batch."""
+    import jax.numpy as jnp
+    from moda_tpu.train.cse_distill import CSEDistiller
+
+    rng = np.random.default_rng(0)
+    S = 32
+    imgs = rng.uniform(size=(2, S, S, 3)).astype(np.float32)
+    feats = rng.normal(size=(2, S // 2, S // 2, 16)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    masks = np.ones((2, S // 2, S // 2, 1), np.float32)
+
+    d = CSEDistiller(lr=3e-3, input_size=S)
+    losses = d.train(iter(lambda: (imgs, feats, masks), None), steps=25)
+    assert losses[-1] < losses[0]
+    out = d.predict(imgs)
+    assert out.shape == (2, S // 2, S // 2, 16)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-4)
