@@ -155,7 +155,12 @@ class PairLoader:
             seeds = self.rng.integers(0, 2**31, size=self.batch_size)
         pairs = []
         for ds_idx, s in zip(picks, seeds):
-            pairs.append(self.datasets[ds_idx].sample_pair(np.random.default_rng(int(s))))
+            try:
+                pairs.append(self.datasets[ds_idx].sample_pair(np.random.default_rng(int(s))))
+            except Exception as e:  # data fault -> fall back to pair 0
+                print(f"warning: loading pair failed ({e}); falling back to 0")
+                pairs.append(self.datasets[ds_idx].sample_pair(
+                    np.random.default_rng(0), idx=0))
         return collate_pairs(pairs, self.offsets)
 
     def _worker(self):

@@ -117,7 +117,10 @@ class SynthScene:
 
     def make_batch(self, pair_ids: List[tuple]) -> Dict[str, np.ndarray]:
         """Frame-pair batch in the trainer's layout ([2B, C, P])."""
-        frames = {}
+        if not hasattr(self, "_frame_cache"):
+            self._frame_cache = {}
+            self._flow_cache = {}
+        frames = self._frame_cache
 
         def get(i):
             if i not in frames:
@@ -141,11 +144,17 @@ class SynthScene:
                 "kaug": np.asarray([1.0, 1.0, 0.0, 0.0], np.float32),
             }
 
+        def flow_cached(f0, i0, f1, i1):
+            key = (i0, i1)
+            if key not in self._flow_cache:
+                self._flow_cache[key] = self.flow_between(f0, f1, i1)
+            return self._flow_cache[key]
+
         first, second = [], []
         fid = []
         for (fa, a, fb, b) in refs:
-            first.append(pack(fa, self.flow_between(fa, fb, b)))
-            second.append(pack(fb, self.flow_between(fb, fa, a)))
+            first.append(pack(fa, flow_cached(fa, a, fb, b)))
+            second.append(pack(fb, flow_cached(fb, b, fa, a)))
             fid.append((a, b))
 
         batch = {}

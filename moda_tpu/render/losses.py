@@ -91,6 +91,40 @@ def compute_root_sm_2nd_loss(rtk_all: jnp.ndarray, data_offset) -> jnp.ndarray:
     return (rot_loss + trn_loss) * 0.1
 
 
+def compute_root_sm_loss(rtk_all: jnp.ndarray, data_offset) -> jnp.ndarray:
+    """1st-order camera smoothness (loss_utils.py:520-537)."""
+    rot_terms, trn_terms = [], []
+    for i in range(len(data_offset) - 1):
+        s, e = int(data_offset[i]), int(data_offset[i + 1])
+        if e - s < 2:
+            continue
+        a, b = rtk_all[s:e - 1], rtk_all[s + 1:e]
+        rot_terms.append(Q.rot_angle(a[:, :3, :3] @ jnp.swapaxes(b[:, :3, :3], -1, -2)))
+        trn_terms.append(Q.safe_norm(a[:, :3, 3] - b[:, :3, 3]))
+    if not rot_terms:
+        return jnp.asarray(0.0)
+    return jnp.concatenate(rot_terms).mean() * 1e-3 + jnp.concatenate(trn_terms).mean() * 0.1
+
+
+def elastic_loss(model, params, xyz: jnp.ndarray, time_embedded: jnp.ndarray,
+                 embed_alpha=None) -> jnp.ndarray:
+    """Jacobian log-singular-value penalty for the SE3/translation flow
+    field (loss_utils.py:106-116). xyz [N,3] detached sample points."""
+    xyz = jax.lax.stop_gradient(xyz.reshape(-1, 3))
+    code = jax.lax.stop_gradient(time_embedded.reshape(-1, time_embedded.shape[-1]))
+
+    def flow_fn(p, c):
+        e = model.embed_xyz(p[None], embed_alpha)
+        x = jnp.concatenate([e, c[None]], -1)
+        return model.nerf_flowbw.apply({"params": params["nerf_flowbw"]}, x)[0]
+
+    J = jax.vmap(jax.jacfwd(flow_fn))(xyz, code)  # [N,3,3]
+    jac = J + jnp.eye(3)[None]
+    sign, logdet = jnp.linalg.slogdet(jac)
+    logdet = jnp.where(sign <= 0, 0.0, logdet)
+    return (logdet ** 2).mean()
+
+
 def rtk_loss(rtk: jnp.ndarray, rtk_gt: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:
     """Camera supervision for pose warmup (loss_utils.py:151-163)."""
     rot_loss = Q.rot_angle(rtk[:, :3, :3] @ jnp.swapaxes(rtk_gt[:, :3, :3], -1, -2)).mean()

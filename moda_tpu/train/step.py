@@ -73,7 +73,10 @@ class StepExtras(NamedTuple):
 def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
                     nsample: int, ndepth: int, use_fine: bool, use_dskin: bool,
                     use_bones: bool, nsample_active: int = 0, donate: bool = True,
-                    xyz_wt_snapshot=None):
+                    xyz_wt_snapshot=None, accu_steps: int = 1):
+    """accu_steps > 1 scans over microbatch slices of the [2B] axis,
+    averaging grads before one optimizer update (the reference's
+    accumulation at train_utils.py:951-969 done in-graph)."""
     cfg = model.cfg
 
     def loss_fn(params, mvars: ModelVars, batch, extras: StepExtras, key):
@@ -122,8 +125,43 @@ def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def train_step(params, opt_state: OptState, mvars: ModelVars, batch,
                    extras: StepExtras, key):
-        (total, (aux, host_out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, mvars, batch, extras, key)
+        if accu_steps <= 1:
+            (total, (aux, host_out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, mvars, batch, extras, key)
+        else:
+            bs2 = batch["frameid"].shape[0]
+            B = bs2 // 2
+            mb = B // accu_steps
+
+            def micro(carry, inp):
+                grads_acc, _ = carry
+                sl, k = inp
+
+                def slice_batch(x):
+                    first = jax.lax.dynamic_slice_in_dim(x, sl, mb, 0)
+                    second = jax.lax.dynamic_slice_in_dim(x, B + sl, mb, 0)
+                    return jnp.concatenate([first, second], 0)
+
+                b = {kk: slice_batch(v) for kk, v in batch.items()}
+                (tot, (aux_i, host_i)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, mvars, b, extras, k)
+                grads_acc = jax.tree_util.tree_map(lambda a, x: a + x / accu_steps,
+                                                   grads_acc, g)
+                return (grads_acc, tot), (aux_i, host_i)
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+            keys = jax.random.split(key, accu_steps)
+            slices = jnp.arange(accu_steps) * mb
+            (grads, total), (auxs, hosts) = jax.lax.scan(
+                micro, (zero, jnp.asarray(0.0)), (slices, keys))
+            aux = jax.tree_util.tree_map(lambda x: x.mean(0), auxs)
+            rtk_full = batch_rtk(model, params, model.compute_rts(
+                params, base_rt=extras.base_rt if cfg.use_cam else None), batch)
+            host_out = {
+                "rtk": rtk_full,
+                "frame_err": hosts["frame_err"].max(0),
+                "frame_cnt": hosts["frame_cnt"].sum(0),
+            }
 
         grads, finite = reject_nonfinite(grads)
         indicators = {

@@ -162,7 +162,8 @@ class Trainer:
                 self.model, self.optimizer, nsample=ns_uniform,
                 ndepth=cfg.ndepth, use_fine=use_fine, use_dskin=use_dskin,
                 use_bones=use_bones, nsample_active=ns_active, donate=False,
-                xyz_wt_snapshot=getattr(self, "xyz_wt_snapshot", None))
+                xyz_wt_snapshot=getattr(self, "xyz_wt_snapshot", None),
+                accu_steps=cfg.accu_steps)
         return self._step_cache[sig]
 
     # --------------------------------------------------------------- priors
@@ -310,6 +311,57 @@ class Trainer:
         self._log({"warmup_pose_rot_loss": float(np.mean(losses[-5:]))})
         self.pose_cnn = w
         return w
+
+    def extract_cams_cnn(self, datasets, save: bool = True):
+        """Initialize per-frame cameras with the trained pose CNN on the
+        observed CSE features, with OOD filtering + nearest-valid rotation
+        substitution, writing init-cam txt files
+        (train_utils.py:393-453, 732-823)."""
+        import cv2
+        from moda_tpu.train.warmup_pose import (nearest_valid_substitution,
+                                                ood_check_features)
+        assert hasattr(self, "pose_cnn"), "run warmup_pose first"
+        rtks, valids = [], []
+        fid = 0
+        for ds in datasets:
+            feats_seq = []
+            dp_idx_seq = []
+            for i in range(ds.num_frames):
+                d = ds.reader.read_raw(i, flowfw=True, dframe=1)
+                f = d["dp_feat"]  # [16,112,112]
+                feats_seq.append(np.transpose(f, (1, 2, 0)))
+                dp_idx_seq.append(cv2.resize(d["dp"].astype(np.float32),
+                                             (112, 112),
+                                             interpolation=cv2.INTER_NEAREST).astype(int))
+            feats = np.stack(feats_seq)
+            n = np.linalg.norm(feats, axis=-1, keepdims=True)
+            feats = feats / np.maximum(n, 1e-9)
+            rtk_seq = self.pose_cnn.predict(feats)
+            if self.cfg.unc_filter and self.prior_embeds.any():
+                valid, _ = ood_check_features(
+                    np.transpose(feats, (0, 3, 1, 2)), self.prior_embeds,
+                    np.stack(dp_idx_seq))
+                rtk_seq = nearest_valid_substitution(rtk_seq, valid)
+            else:
+                valid = np.ones(len(rtk_seq), bool)
+            for i in range(ds.num_frames):
+                rtk = np.eye(4, dtype=np.float32)
+                rtk[:3] = rtk_seq[i, :3]
+                rtk[:3, 3] *= self.model.obj_scale
+                rtk[3] = np.asarray(self.data_info.intrinsics[ds.dataid])
+                rtks.append(rtk)
+                valids.append(bool(valid[i]))
+                fid += 1
+        rtks = np.stack(rtks)
+        if save and jax.process_index() == 0:
+            cam_dir = os.path.join(self.save_dir, "init-cam")
+            os.makedirs(cam_dir, exist_ok=True)
+            for i, rtk in enumerate(rtks):
+                np.savetxt(os.path.join(cam_dir, "cam-%05d.txt" % i), rtk)
+        norm = rtks.copy()
+        norm[:, :3, 3] /= self.model.obj_scale
+        self.set_cameras_from_rtk_files(norm)
+        return rtks, np.asarray(valids)
 
     def eval_renders(self, epoch: int, num_frames: int = 9):
         """Per-epoch qualitative renders (train_utils.py:695-704): a grid of

@@ -133,3 +133,33 @@ def save_gif(path: str, frames: List[np.ndarray], fps: int = 10):
 
     imgs = [(np.clip(f, 0, 1) * 255).astype(np.uint8) for f in frames]
     imageio.mimsave(path, imgs, duration=1000.0 / fps)
+
+
+def draw_cams(rtks: np.ndarray, axis_len: float = 0.05) -> Mesh:
+    """Camera-trajectory visualization mesh (utils/io.py:190-240 role):
+    one small pyramid per camera at its center, colored by time."""
+    verts, faces, colors = [], [], []
+    n = len(rtks)
+    for i, rtk in enumerate(rtks):
+        R_ = rtk[:3, :3]
+        T = rtk[:3, 3]
+        center = -R_.T @ T
+        # frustum: apex at center, base towards viewing dir (-z row of R)
+        fwd = R_[2]
+        up = R_[1]
+        right = R_[0]
+        base = center + fwd * axis_len * 2
+        s = axis_len
+        quad = [base + s * (up + right), base + s * (up - right),
+                base + s * (-up - right), base + s * (-up + right)]
+        vs = [center] + quad
+        off = sum(len(v) for v in verts)
+        verts.append(np.stack(vs))
+        f = np.asarray([[0, 1, 2], [0, 2, 3], [0, 3, 4], [0, 4, 1], [1, 2, 3], [1, 3, 4]])
+        faces.append(f + off)
+        t = i / max(n - 1, 1)
+        col = np.asarray([t, 0.2, 1.0 - t])
+        colors.append(np.tile(col, (5, 1)))
+    return Mesh(np.concatenate(verts).astype(np.float32),
+                np.concatenate(faces).astype(np.int32),
+                np.concatenate(colors).astype(np.float32))

