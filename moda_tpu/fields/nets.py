@@ -282,3 +282,38 @@ class EmbedCode(nn.Module):
     def __call__(self, idx: jnp.ndarray) -> jnp.ndarray:
         table = self.param("weight", nn.initializers.normal(1.0), (self.num, self.dim))
         return table[idx]
+
+
+def so3_grid(n: int = 576) -> jnp.ndarray:
+    """Quasi-uniform SO(3) rotation grid [n, 3, 3].
+
+    Replaces the healpix grid of the reference's ScoreHead
+    (nerf.py:472-500): a deterministic low-discrepancy quaternion set
+    (generalized Fibonacci points on S^3)."""
+    i = np.arange(n) + 0.5
+    # 3 irrational multipliers spread points over S^3 angles
+    t0 = i / n
+    t1 = (i * 0.7548776662466927) % 1.0
+    t2 = (i * 0.5698402909980532) % 1.0
+    # Shoemake uniform quaternion sampling with stratified inputs
+    r1 = np.sqrt(1.0 - t0)
+    r2 = np.sqrt(t0)
+    q = np.stack([
+        r1 * np.sin(2 * np.pi * t1), r1 * np.cos(2 * np.pi * t1),
+        r2 * np.sin(2 * np.pi * t2), r2 * np.cos(2 * np.pi * t2)], -1)
+    return Q.q_to_matrix(jnp.asarray(q, jnp.float32))
+
+
+class ScoreHead(nn.Module):
+    """Code -> per-rotation-bin scores over an SO(3) grid (nerf.py:472-500),
+    used by the CNN root-pose basis to output a rotation distribution."""
+
+    num_scores: int = 576
+    in_channels: int = 128
+
+    @nn.compact
+    def __call__(self, code: jnp.ndarray) -> jnp.ndarray:
+        out = NeRFMLP(D=1, W=256, in_channels_xyz=self.in_channels,
+                      in_channels_dir=0, out_channels=self.num_scores + 3,
+                      raw_feat=True, name="trunk")(code)
+        return out[..., 3:]  # scores (tmat outputs unused, as in reference)

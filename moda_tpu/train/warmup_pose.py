@@ -162,3 +162,37 @@ def nearest_valid_substitution(rtks: np.ndarray, valid: np.ndarray) -> np.ndarra
             j = idx_valid[np.abs(idx_valid - i).argmin()]
             out[i, :3, :3] = rtks[j, :3, :3]
     return out
+
+
+def process_so3_seq(scores: np.ndarray, grid: np.ndarray,
+                    smooth: bool = True, sigma: float = 0.4) -> np.ndarray:
+    """Temporally-smoothed rotation decoding from per-frame score
+    distributions (geom_utils.py:1381-1461). The reference uses a dense
+    CRF (pydensecrf); here: forward-backward message passing on the frame
+    chain with a rotation-distance pairwise potential — same maximum-a-
+    posteriori intent, dependency-free.
+
+    scores [T, N]; grid [N, 3, 3] -> rotations [T, 3, 3]."""
+    import jax.numpy as jnp
+    from moda_tpu.core import quat as Q
+
+    T, N = scores.shape
+    logp = scores - scores.max(-1, keepdims=True)
+    logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
+    if smooth and T > 1:
+        drot = np.asarray(Q.rot_angle(
+            jnp.asarray(grid)[None] @ jnp.swapaxes(jnp.asarray(grid)[:, None], -1, -2)))
+        trans = -0.5 * (drot / sigma) ** 2  # [N, N] transition log-potential
+        # forward pass
+        alpha = logp.copy()
+        for t in range(1, T):
+            m = alpha[t - 1][:, None] + trans
+            alpha[t] += m.max(0)
+        # backtrack
+        idx = np.zeros(T, int)
+        idx[-1] = alpha[-1].argmax()
+        for t in range(T - 2, -1, -1):
+            idx[t] = (alpha[t] + trans[:, idx[t + 1]]).argmax()
+    else:
+        idx = logp.argmax(-1)
+    return grid[idx]
