@@ -174,11 +174,11 @@ class MoDAModel:
             params["nerf_body_rts"] = self.body_head.init(
                 next(keys), jnp.zeros((2, cfg.t_embed_dim))
             )["params"]
+            params["rest_pose_code"] = self.rest_pose_code.init(next(keys), fid)["params"]
             if cfg.nerf_skin:
                 params["nerf_skin"] = self.nerf_skin.init(
                     next(keys), jnp.zeros((2, IN_XYZ + cfg.t_embed_dim))
                 )["params"]
-                params["rest_pose_code"] = self.rest_pose_code.init(next(keys), fid)["params"]
             if cfg.nerf_dis:
                 params["nerf_dis"] = self.nerf_dis.init(
                     next(keys), jnp.zeros((2, IN_XYZ + cfg.t_embed_dim))
