@@ -1,0 +1,60 @@
+"""Novel-view-synthesis CLI (scripts/visualize/nvs.py role).
+
+  python -m moda_tpu.cli.nvs_app --seqname X --logname exp1 \
+      --model_path logdir/exp1/latest --test_frames 9
+
+Renders (a) an input-view replay and (b) a bullet-time turntable around
+the middle frame, written as gifs next to the checkpoint.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    from moda_tpu.cli.flags import parse_config
+    from moda_tpu.config import DataInfo, load_seq_config
+    from moda_tpu.data.dataset import build_datasets, data_offsets
+    from moda_tpu.train.trainer import Trainer
+    from moda_tpu.viz.nvs import render_nvs, save_gif, turntable_cams
+
+    cfg = parse_config(argv)
+    datasets = build_datasets(cfg.seqname, cfg.img_size, cfg.config_dir,
+                              rtk_base=cfg.rtk_path or None)
+    offsets = data_offsets(datasets)
+    intrinsics = [tuple(s.ks) for s in load_seq_config(cfg.seqname, cfg.config_dir)]
+    info = DataInfo(offset=offsets, intrinsics=tuple(intrinsics))
+    trainer = Trainer(cfg, info, loader=None)
+    assert cfg.model_path, "--model_path required"
+
+    out_dir = os.path.join(cfg.checkpoint_dir, cfg.logname + "-nvs")
+    os.makedirs(out_dir, exist_ok=True)
+    num_fr = info.num_fr
+    n = min(int(cfg.test_frames) if not cfg.test_frames.startswith("{") else 9, num_fr)
+    ids = np.linspace(0, num_fr - 1, n, dtype=int)
+
+    # input-view replay
+    cams = trainer.latest_vars["rtk"][ids]
+    frames = render_nvs(trainer.model, trainer.params, trainer.mvars,
+                        cams, ids, cfg.render_size, cfg.ndepth, chunk=cfg.chunk)
+    save_gif(os.path.join(out_dir, "replay.gif"),
+             [f["img_coarse"] for f in frames])
+
+    # bullet time around the middle frame
+    mid = int(ids[len(ids) // 2])
+    orbit = turntable_cams(trainer.latest_vars["rtk"][mid], num_views=n)
+    frames = render_nvs(trainer.model, trainer.params, trainer.mvars,
+                        orbit, [mid] * n, cfg.render_size, cfg.ndepth,
+                        chunk=cfg.chunk)
+    save_gif(os.path.join(out_dir, "bullet.gif"),
+             [f["img_coarse"] for f in frames])
+    print(f"wrote {out_dir}/replay.gif and bullet.gif")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

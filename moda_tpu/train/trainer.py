@@ -118,6 +118,19 @@ class Trainer:
             self.prior_embeds = np.zeros((len(prior_verts), 16), np.float32)
         self.prior_verts_unit = prior_verts / np.abs(prior_verts).max()
 
+        # data-parallel mesh over all local devices (parallel/mesh.py);
+        # single-device runs skip sharding entirely
+        from moda_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+        self.n_devices = len(jax.devices())
+        if self.n_devices > 1:
+            self.mesh = make_mesh(self.n_devices)
+            self._batch_sharding = batch_sharding(self.mesh)
+            self._repl_sharding = replicated(self.mesh)
+            self.params = jax.device_put(self.params, self._repl_sharding)
+            self.mvars = jax.device_put(self.mvars, self._repl_sharding)
+        else:
+            self.mesh = None
+
         self.total_steps_done = 0
         self.progress = 0.0
         self.counter_frz_rebone = 0.0
@@ -500,7 +513,11 @@ class Trainer:
             )
             t_load0 = time.time()
             batch = next(self.loader)
-            batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            if self.mesh is not None:
+                batch_dev = {k: jax.device_put(v, self._batch_sharding)
+                             for k, v in batch.items()}
+            else:
+                batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
             t_load = time.time() - t_load0
 
             t_step0 = time.time()
