@@ -320,8 +320,14 @@ class Trainer:
         d_mean = float(nf.mean()) * self.model.obj_scale
         w = PoseWarmup(self.prior_verts_unit, self.prior_faces, self.prior_embeds,
                        d_mean=d_mean)
-        losses = w.train(steps=num_epochs * ITERS_PER_EPOCH // 10, bs=8)
-        self._log({"warmup_pose_rot_loss": float(np.mean(losses[-5:]))})
+        if self.cfg.pose_cnn_path and os.path.exists(self.cfg.pose_cnn_path):
+            # pretrained pose CNN route (template.sh --pose_cnn_path)
+            w.load(self.cfg.pose_cnn_path)
+        else:
+            losses = w.train(steps=num_epochs * ITERS_PER_EPOCH // 10, bs=8)
+            self._log({"warmup_pose_rot_loss": float(np.mean(losses[-5:]))})
+            if jax.process_index() == 0:
+                w.save(os.path.join(self.save_dir, "pose_cnn.npz"))
         self.pose_cnn = w
         return w
 

@@ -118,6 +118,15 @@ class PoseWarmup:
             losses.append(float(rot))
         return losses
 
+    def save(self, path: str):
+        """Persist the pose CNN (pose_cnn_path artifact equivalent)."""
+        from moda_tpu.train.ckpt import _flatten
+        np.savez(path, **_flatten({"cnn": self.params}))
+
+    def load(self, path: str):
+        from moda_tpu.train.ckpt import _unflatten
+        self.params = _unflatten(dict(np.load(path)))["cnn"]
+
     def predict(self, feats: np.ndarray) -> np.ndarray:
         """feats [N,112,112,16] -> rtk [N,4,4] (base z=0.3 composed with the
         predicted rotation; translation from base, as in forward_warmup)."""
