@@ -20,6 +20,9 @@ import numpy as np
 
 
 def main():
+    from moda_tpu.runtime import setup_jax
+    setup_jax()
+
     import jax
     import jax.numpy as jnp
 

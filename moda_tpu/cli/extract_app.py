@@ -28,6 +28,9 @@ def parse_test_frames(spec: str, offsets) -> list:
 
 
 def main(argv=None):
+    from moda_tpu.runtime import setup_jax
+    setup_jax()
+
     import jax.numpy as jnp
 
     from moda_tpu.cli.flags import parse_config

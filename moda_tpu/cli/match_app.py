@@ -12,6 +12,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from moda_tpu.runtime import setup_jax
+    setup_jax()
+
     import cv2
 
     from moda_tpu.cli.flags import parse_config

@@ -15,6 +15,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from moda_tpu.runtime import setup_jax
+    setup_jax()
+
     import jax.numpy as jnp
 
     from moda_tpu.cli.flags import parse_config

@@ -16,6 +16,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from moda_tpu.runtime import setup_jax
+    setup_jax()
+
     from moda_tpu.cli.flags import parse_config
     from moda_tpu.config import DataInfo
     from moda_tpu.data.dataset import PairLoader, build_datasets, data_offsets

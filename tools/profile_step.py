@@ -20,6 +20,9 @@ sys.path.insert(0, ".")
 
 
 def main():
+    from moda_tpu.runtime import setup_jax
+    setup_jax()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace_dir", default="/tmp/moda_trace")
     ap.add_argument("--n_pairs", type=int, default=256)

@@ -23,6 +23,9 @@ sys.path.insert(0, ".")
 
 
 def main():
+    from moda_tpu.runtime import setup_jax
+    setup_jax()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--img_size", type=int, default=64)
