@@ -192,3 +192,19 @@ def write_lines(database_root: str, seqname: str, img_size: int,
                 elem = {k: v[..., sl][None] for k, v in d0.items()
                         if k in ("imgs", "masks", "vis2d", "flow", "occ", "dp_feats")}
                 np.save(os.path.join(dirname, "%04d.npy" % row), elem)
+
+
+def compute_flow_cse(cse_a: np.ndarray, cse_b: np.ndarray) -> np.ndarray:
+    """Dense flow a->b by CSE feature matching (geom_utils.py:1230-1247).
+
+    cse_{a,b}: [16, h, w] unit feature images. Returns flo [2, h, w] in
+    [-2, 2] normalized units (matching the reference's dp-flow convention)."""
+    C, h, w = cse_a.shape
+    fa = cse_a.reshape(C, -1)
+    fb = cse_b.reshape(C, -1)
+    cost = fa.T @ fb  # [hw, hw]
+    match = cost.argmax(1)
+    tx, ty = match % w, match // w
+    xs, ys = np.meshgrid(range(w), range(h))
+    flo = np.stack([tx.reshape(h, w) - xs, ty.reshape(h, w) - ys], 0)
+    return flo.astype(np.float32) / w * 2.0

@@ -164,3 +164,13 @@ def test_active_sampling(rng):
     # paired halves: rtk_vec_target of ray i equals rtk_vec of ray i+R/2
     np.testing.assert_allclose(np.asarray(rays["rtk_vec_target"][: R // 2]),
                                np.asarray(rays["rtk_vec"][R // 2:]), atol=0)
+
+
+def test_flowbw_mode(rng):
+    """Free-form 3D flow deformation path (cfg.flowbw, rendering.py:258-287)."""
+    cfg, model, params, mvars = tiny_setup(flowbw=True, neudbs=False, lbs=False)
+    batch = tiny_batch(rng, cfg)
+    rays, rendered = run_forward(cfg, model, params, mvars, batch, jax.random.key(1))
+    assert np.isfinite(np.asarray(rendered["img_coarse"])).all()
+    assert "frame_cyc_dis" in rendered
+    assert np.isfinite(np.asarray(rendered["flo_coarse"])).all()
