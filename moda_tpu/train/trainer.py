@@ -583,6 +583,12 @@ class Trainer:
                                  "steps": self.total_steps_done})
         if len(self.mesh_rest.vertices) > 0:
             self.mesh_rest.export_obj(os.path.join(self.save_dir, f"mesh_rest-{tag}.obj"))
+        # camera-trajectory mesh (train_utils.py:599-601 mesh_cam export)
+        if self.latest_vars["idk"].sum() > 1:
+            from moda_tpu.viz.render_vis import draw_cams
+            valid = self.latest_vars["idk"] > 0
+            cams = draw_cams(self.latest_vars["rtk"][valid])
+            cams.export_obj(os.path.join(self.save_dir, f"mesh_cam-{tag}.obj"))
 
     def load_model(self, path: str):
         loaded, lv, mv, meta = CK.load_checkpoint(path)
