@@ -174,3 +174,19 @@ def test_flowbw_mode(rng):
     assert np.isfinite(np.asarray(rendered["img_coarse"])).all()
     assert "frame_cyc_dis" in rendered
     assert np.isfinite(np.asarray(rendered["flo_coarse"])).all()
+
+
+def test_appearance_code_mode(rng):
+    cfg, model, params, mvars = tiny_setup(appearance_code=True)
+    batch = tiny_batch(rng, cfg)
+    rays, rendered = run_forward(cfg, model, params, mvars, batch, jax.random.key(1))
+    assert "appearance_code" in rays
+    assert np.isfinite(np.asarray(rendered["img_coarse"])).all()
+
+
+def test_s3im_mode(rng):
+    cfg, model, params, mvars = tiny_setup(s3im_loss=True)
+    batch = tiny_batch(rng, cfg)
+    rays, rendered = run_forward(cfg, model, params, mvars, batch, jax.random.key(1))
+    assert "s3im_loss" in rendered
+    assert np.isfinite(float(rendered["s3im_loss"].mean()))
