@@ -1,0 +1,111 @@
+"""Export the analytic synthetic scene as an on-disk DAVIS-layout dataset.
+
+The artifact-producing role of scripts/synthetic/render_synthetic.py:
+JPEGImages/Annotations/FlowFW_d/Densepose + Cameras (GT rtk txt) + GT
+meshes (marching cubes of the analytic SDF) + configs/<seq>.config, so
+the standard CLI pipeline (train_app -> extract_app -> eval) runs on
+exact-GT data.
+
+  python tools/make_synth_dataset.py --out database/DAVIS --seqname a-ellipse
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="database/DAVIS")
+    ap.add_argument("--seqname", default="a-ellipse")
+    ap.add_argument("--img_size", type=int, default=128)
+    ap.add_argument("--num_frames", type=int, default=16)
+    ap.add_argument("--config_dir", default="configs")
+    args = ap.parse_args()
+
+    import cv2
+
+    from moda_tpu.data.pfm import write_pfm
+    from moda_tpu.data.synthetic import SynthScene
+    from moda_tpu.extract.mesh import Mesh
+    from moda_tpu.native import marching_cubes
+    from moda_tpu.preproc.pipeline import write_config
+
+    scene = SynthScene(img_size=args.img_size, num_frames=args.num_frames)
+    seq = args.seqname
+    root = args.out
+    img_dir = os.path.join(root, "JPEGImages", "Full-Resolution", seq)
+    ann_dir = os.path.join(root, "Annotations", "Full-Resolution", seq)
+    cam_dir = os.path.join(root, "Cameras", "Full-Resolution", seq)
+    dp_dir = os.path.join(root, "Densepose", "Full-Resolution", seq)
+    mesh_dir = os.path.join(root, "Meshes", "Full-Resolution", seq)
+    for d in (img_dir, ann_dir, cam_dir, dp_dir, mesh_dir):
+        os.makedirs(d, exist_ok=True)
+
+    frames = [scene.render_frame(i) for i in range(args.num_frames)]
+    S = args.img_size
+    for i, f in enumerate(frames):
+        cv2.imwrite(os.path.join(img_dir, "%05d.jpg" % i),
+                    (f["img"][..., ::-1] * 255).astype(np.uint8))
+        cv2.imwrite(os.path.join(ann_dir, "%05d.png" % i),
+                    (f["mask"] * 128).astype(np.uint8))
+        np.savetxt(os.path.join(cam_dir, "%05d.txt" % i), f["rtk"])
+        # CSE-style artifacts from the analytic features
+        feat112 = cv2.resize(f["feat"], (112, 112)).transpose(2, 0, 1)
+        write_pfm(os.path.join(dp_dir, "feat-%05d.pfm" % i),
+                  feat112.reshape(16 * 112, 112))
+        np.savetxt(os.path.join(dp_dir, "bbox-%05d.txt" % i),
+                   np.asarray([0, 0, S, S], np.float32))
+        write_pfm(os.path.join(dp_dir, "%05d.pfm" % i),
+                  np.zeros((S, S), np.float32))
+
+    # GT flow at all dframes used by the loader
+    for d in (1, 2, 4, 8):
+        fw_dir = os.path.join(root, f"FlowFW_{d}", "Full-Resolution", seq)
+        bw_dir = os.path.join(root, f"FlowBW_{d}", "Full-Resolution", seq)
+        os.makedirs(fw_dir, exist_ok=True)
+        os.makedirs(bw_dir, exist_ok=True)
+        for i in range(0, args.num_frames - d):
+            if i % d != 0:
+                continue
+            flo_fw = scene.flow_between(frames[i], frames[i + d], i + d) * S / 2.0
+            flo_bw = scene.flow_between(frames[i + d], frames[i], i) * S / 2.0
+            occ_fw = frames[i]["mask"].astype(np.float32)
+            occ_bw = frames[i + d]["mask"].astype(np.float32)
+            write_pfm(os.path.join(fw_dir, "flo-%05d.pfm" % i),
+                      np.concatenate([flo_fw, np.zeros_like(flo_fw[..., :1])], -1))
+            write_pfm(os.path.join(fw_dir, "occ-%05d.pfm" % i), occ_fw)
+            write_pfm(os.path.join(bw_dir, "flo-%05d.pfm" % (i + d)),
+                      np.concatenate([flo_bw, np.zeros_like(flo_bw[..., :1])], -1))
+            write_pfm(os.path.join(bw_dir, "occ-%05d.pfm" % (i + d)), occ_bw)
+
+    # GT meshes per frame (marching cubes of the analytic SDF)
+    n = 64
+    lin = np.linspace(-0.5, 0.5, n).astype(np.float32)
+    grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
+    for i in range(args.num_frames):
+        t = i / max(args.num_frames - 1, 1)
+        sdf = -scene.sdf(grid.reshape(-1, 3), t).reshape(n, n, n)
+        v, f_ = marching_cubes(sdf.astype(np.float32), 0.0)
+        v = (v - n / 2.0) / n * 1.0
+        Mesh(v.astype(np.float32), f_).export_obj(
+            os.path.join(mesh_dir, "mesh-%05d.obj" % i))
+
+    fpx = scene.focal * S / 2
+    write_config(args.config_dir, seq, img_dir, (S, S))
+    # overwrite ks with the exact synthetic intrinsics
+    cfgp = os.path.join(args.config_dir, f"{seq}.config")
+    txt = open(cfgp).read().replace(
+        f"ks = {S} {S} {S/2} {S/2}", f"ks = {fpx} {fpx} {S/2} {S/2}")
+    with open(cfgp, "w") as fo:
+        fo.write(txt)
+    print(f"wrote {args.num_frames} frames of '{seq}' under {root}")
+
+
+if __name__ == "__main__":
+    main()
