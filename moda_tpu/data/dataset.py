@@ -15,6 +15,7 @@ VidDataset / LineDataset) + dataloader/frameloader.py. Key differences:
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from dataclasses import dataclass
@@ -215,6 +216,9 @@ class LineShardDataset:
         idy = int(rng.integers(0, self.img_size)) if idy is None else idy
         cands = [1] + [d for d in DFRAME_CANDIDATES
                        if idt % d == 0 and idt + d <= max_id]
+        # only dframes whose shards exist on disk (partial exports)
+        cands = [d for d in cands
+                 if os.path.isdir(os.path.join(self.pixels_dir, f"{d}_{idt:05d}"))] or [1]
         dframe = int(rng.choice(cands))
         shard = os.path.join(self.pixels_dir, f"{dframe}_{idt:05d}")
         row = np.load(os.path.join(shard, "%04d.npy" % idy), allow_pickle=True).item()

@@ -175,22 +175,30 @@ def write_config(config_dir: str, seqname: str, datapath: str,
 def write_lines(database_root: str, seqname: str, img_size: int,
                 datasets) -> None:
     """img2lines-compatible pixel-row shards (preprocess/img2lines.py:33-107):
-    Pixels/<seq>/<dframe>_<frameid>/%04d.npy per row + rtk.npy with kaug.
-    Our loader reads frames directly; this writer exists for drop-in
-    interop with tooling that expects the sharded layout."""
+    Pixels/<seq>/<dframe>_<frameid>/%04d.npy per row (reference key names,
+    pair-stacked [1, 2, C, W]) + rtk.npy {'rtk','kaug'}. Readable by both
+    the reference's LineDataset and our LineShardDataset."""
     out_base = os.path.join(database_root, "Pixels", "Full-Resolution", seqname)
+    key_map = {"img": "imgs", "mask": "masks", "vis2d": "vis2d",
+               "flow": "flow", "occ": "occ", "dp_feat_rsmp": "dp_feats"}
     for ds in datasets:
         for i in range(ds.num_frames - 1):
             pair = ds.sample_pair(np.random.default_rng(i), idx=i)
-            d0 = pair["frames"][0]
+            d0, d1 = pair["frames"]
             dirname = os.path.join(out_base, f"1_{i:05d}")
             os.makedirs(dirname, exist_ok=True)
             np.save(os.path.join(dirname, "rtk.npy"),
-                    {"kaug": d0["kaug"][None]})
+                    {"rtk": np.stack([d0["rtk"], d1["rtk"]])[None],
+                     "kaug": np.stack([d0["kaug"], d1["kaug"]])[None]})
             for row in range(img_size):
                 sl = slice(row * img_size, (row + 1) * img_size)
-                elem = {k: v[..., sl][None] for k, v in d0.items()
-                        if k in ("imgs", "masks", "vis2d", "flow", "occ", "dp_feats")}
+                elem = {}
+                for ref_k, our_k in key_map.items():
+                    elem[ref_k] = np.stack(
+                        [d0[our_k][..., sl], d1[our_k][..., sl]])[None]
+                elem["dp"] = np.stack(
+                    [d0.get("dps", d0["masks"])[..., sl],
+                     d1.get("dps", d1["masks"])[..., sl]])[None]
                 np.save(os.path.join(dirname, "%04d.npy" % row), elem)
 
 

@@ -88,3 +88,27 @@ def test_loader_and_train_step(davis_db):
                                  extras, jax.random.key(0))
     assert np.isfinite(float(aux["total_loss"]))
     assert host_out["rtk"].shape == (4, 4, 4)
+
+
+def test_line_shard_roundtrip(davis_db):
+    """write_lines shards -> LineShardDataset reads them back."""
+    root, seq = davis_db
+    from moda_tpu.data.dataset import (LineShardDataset, build_datasets,
+                                       collate_pairs, data_offsets)
+
+    ds = build_datasets(seq, img_size=16, config_dir=str(root / "configs"))
+    PP.write_lines(str(root), seq, 16, ds)
+    pixels_dir = str(root / "Pixels" / "Full-Resolution" / seq)
+    # our writer emits per-frame dirs named 1_%05d with rows + rtk.npy
+    assert os.path.isdir(os.path.join(pixels_dir, "1_00000"))
+
+    imglist = ds[0].reader.paths.imglist
+    lds = LineShardDataset(pixels_dir, imglist, img_size=16)
+    pair = lds.sample_pair(np.random.default_rng(3), idx=0, idy=5)
+    p0 = pair["frames"][0]
+    assert p0["imgs"].shape == (3, 16)
+    assert p0["dp_feats"].shape == (16, 16)
+    assert pair["lineid"][0] == 5
+    batch = collate_pairs([pair], data_offsets(ds))
+    assert batch["imgs"].shape == (2, 3, 16)
+    assert "lineid" in batch
