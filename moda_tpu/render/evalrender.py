@@ -20,9 +20,12 @@ from moda_tpu.render.pipeline import render_rays
 
 
 def make_frame_renderer(model: MoDAModel, render_size: int, ndepth: int,
-                        chunk: int = 32768, render_vis: bool = True):
+                        chunk: int = 32768, render_vis: bool = True,
+                        with_flow: bool = False):
     """Returns render_frame(params, mvars, rtk[1,4,4], kaug[1,4], frameid[1],
-    dataid[1]) -> dict of [render_size, render_size, C] images."""
+    dataid[1], [rtk_target, frameid_target]) -> dict of
+    [render_size, render_size, C] images. with_flow renders flo_coarse
+    against the paired frame (eval grid parity, train_utils.py:500-505)."""
 
     @jax.jit
     def _build(params, mvars, rtk, kaug, frameid, dataid):
@@ -30,16 +33,34 @@ def make_frame_renderer(model: MoDAModel, render_size: int, ndepth: int,
                                    dataid, render_size)
 
     @jax.jit
+    def _build_pair(params, mvars, rtk, kaug, frameid, dataid, rtk_t, frameid_t):
+        return RB.build_rays_image(model, params, mvars, rtk, kaug, frameid,
+                                   dataid, render_size, rtk_target=rtk_t,
+                                   frameid_target=frameid_t)
+
+    @jax.jit
     def _render_chunk(params, mvars, rays_chunk, key):
         return render_rays(model, params, mvars, rays_chunk, key, ndepth,
                            fine_iter=False, render_vis=render_vis, perturb=0.0)
 
+    @jax.jit
+    def _render_chunk_flow(params, mvars, rays_chunk, key):
+        return render_rays(model, params, mvars, rays_chunk, key, ndepth,
+                           fine_iter=True, render_vis=render_vis, perturb=0.0)
+
     def render_frame(params: Params, mvars: ModelVars, rtk, kaug, frameid, dataid,
-                     key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
+                     key: Optional[jax.Array] = None, rtk_target=None,
+                     frameid_target=None) -> Dict[str, np.ndarray]:
         key = key if key is not None else jax.random.key(0)
-        rays = _build(params, mvars, rtk, kaug, frameid, dataid)
+        if with_flow and rtk_target is not None:
+            rays = _build_pair(params, mvars, rtk, kaug, frameid, dataid,
+                               rtk_target, frameid_target)
+        else:
+            rays = _build(params, mvars, rtk, kaug, frameid, dataid)
         R = rays["rays_o"].shape[0]
         outs = []
+        render_fn = (_render_chunk_flow if (with_flow and rtk_target is not None)
+                     else _render_chunk)
         n_chunks = (R + chunk - 1) // chunk
         for ci in range(n_chunks):
             sl = {}
@@ -53,7 +74,7 @@ def make_frame_renderer(model: MoDAModel, render_size: int, ndepth: int,
                     sl[k] = piece
                 else:
                     sl[k] = v
-            outs.append(_render_chunk(params, mvars, sl, key))
+            outs.append(render_fn(params, mvars, sl, key))
         merged = {}
         for k in outs[0]:
             v = jnp.concatenate([o[k] for o in outs], 0)[:R]

@@ -240,10 +240,15 @@ def build_rays_image(
     dataid: jnp.ndarray,
     render_size: int,
     embed_alpha=None,
+    rtk_target: jnp.ndarray = None,
+    frameid_target: jnp.ndarray = None,
 ) -> RayDict:
     """Full-image ray bundle for eval rendering: every pixel of each frame.
 
     Shapes: rtk [B,4,4], ... -> rays lead with [B*render_size^2].
+    rtk_target/frameid_target (optional): paired-frame camera + codes so
+    eval renders include flow (flo_coarse), matching the reference's eval
+    grid (train_utils.py:500-505).
     """
     cfg = model.cfg
     B = rtk.shape[0]
@@ -288,4 +293,17 @@ def build_rays_image(
         Bb, D = bone_rts.shape[1], bone_rts.shape[2]
         rays["bone_rts"] = flat(jnp.broadcast_to(bone_rts[:, None], (B, P, Bb, D)))
         rays["rest_pose_code"] = model.apply_rest_pose_code(params, jnp.zeros((1,), jnp.int32))
+
+    if rtk_target is not None and frameid_target is not None:
+        Rt, Tt, Kit = cam.prepare_ray_cams(rtk_target, kaug)
+        rtk_vec_t = jnp.concatenate(
+            [Rt.reshape(B, 1, 9), Tt.reshape(B, 1, 3), Kit.reshape(B, 1, 9)], -1)
+        rays["rtk_vec_target"] = flat(jnp.broadcast_to(rtk_vec_t, (B, P, 21)))
+        if cfg.lbs or cfg.neudbs:
+            _, bone_rts_t = compute_bone_rts(model, params, frameid_target)
+            rays["bone_rts_target"] = flat(
+                jnp.broadcast_to(bone_rts_t[:, None], (B, P, Bb, D)))
+        if cfg.flowbw:
+            rays["time_embedded_target"] = per_ray(
+                model.apply_pose_code(params, frameid_target))
     return rays

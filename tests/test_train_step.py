@@ -176,3 +176,20 @@ def test_grad_accumulation_matches_full_batch(rng):
         d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
                                    p_new["nerf_coarse"], params["nerf_coarse"])
         assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_step_determinism(rng):
+    """Same seed + same batch -> bitwise-identical updates (explicit PRNG,
+    no data races — the determinism claim of DESIGN.md/SURVEY §5)."""
+    cfg, model, params, mvars = tiny_setup()
+    batch = tiny_batch(rng, cfg)
+    opt = MoDAOptimizer(cfg, total_steps=10)
+    step = make_train_step(model, opt, nsample=cfg.nsample, ndepth=cfg.ndepth,
+                           use_fine=False, use_dskin=False, use_bones=True,
+                           donate=False)
+    ex = default_extras(model, jax.random.key(9))
+    p1, _, a1, _ = step(params, opt.init(params), mvars, batch, ex, jax.random.key(7))
+    p2, _, a2, _ = step(params, opt.init(params), mvars, batch, ex, jax.random.key(7))
+    assert float(a1["total_loss"]) == float(a2["total_loss"])
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), p1, p2)
+    assert max(jax.tree_util.tree_leaves(d)) == 0.0
