@@ -392,9 +392,14 @@ class Trainer:
                 self.model, self.cfg.render_size, self.cfg.ndepth, chunk=self.cfg.chunk)
         ids = np.linspace(0, self.data_info.num_fr - 1, num_frames, dtype=int)
         tiles = []
+        rs = self.cfg.render_size
         for fi in ids:
             rtk = jnp.asarray(self.latest_vars["rtk"][fi])[None]
-            kaug = jnp.asarray([[1.0, 1.0, 0.0, 0.0]])
+            # render the full frame at render_size: kaug downscales the raw
+            # intrinsics (image W~2*px, H~2*py)
+            px, py = float(rtk[0, 3, 2]), float(rtk[0, 3, 3])
+            kaug = jnp.asarray([[max(2 * px / rs, 1e-6), max(2 * py / rs, 1e-6),
+                                 0.0, 0.0]])
             out = self._frame_renderer(self.params, self.mvars, rtk, kaug,
                                        jnp.asarray([fi]), jnp.zeros((1,), jnp.int32))
             rgb = np.clip(out["img_coarse"], 0, 1)

@@ -41,8 +41,10 @@ def render_nvs(model: MoDAModel, params: Params, mvars: ModelVars,
     renderer = make_frame_renderer(model, render_size, ndepth, chunk=chunk,
                                    render_vis=True)
     frames = []
-    kaug = jnp.asarray([[1.0, 1.0, 0.0, 0.0]])
     for rtk, eid in zip(cam_rtks, embedids):
+        px, py = float(rtk[3, 2]), float(rtk[3, 3])
+        kaug = jnp.asarray([[max(2 * px / render_size, 1e-6),
+                             max(2 * py / render_size, 1e-6), 0.0, 0.0]])
         out = renderer(params, mvars, jnp.asarray(rtk)[None], kaug,
                        jnp.asarray([eid]), jnp.zeros((1,), jnp.int32))
         frames.append(out)
