@@ -134,6 +134,7 @@ class Trainer:
         self.total_steps_done = 0
         self.progress = 0.0
         self.counter_frz_rebone = 0.0
+        self._pending = None  # deferred (fid, aux, host_out) of the in-flight step
         self.np_rng = np.random.default_rng(seed)
         self.grid_query = make_grid_query(self.model)
         self._step_cache: Dict = {}
@@ -540,15 +541,18 @@ class Trainer:
                 self._log({"t_load": t_load, "t_step": time.time() - t_step0,
                            "step": self.total_steps_done})
 
-            # host bookkeeping (save_latest_vars, moda.py:1497-1513 + filter)
-            fid = np.asarray(batch["frameid"])
-            self.latest_vars["rtk"][fid] = np.asarray(host_out["rtk"])
-            self.latest_vars["rt_raw"][fid] = np.asarray(host_out["rtk"])[:, :3, :4]
-            self.latest_vars["idk"][fid] = 1
-            fe = np.asarray(host_out["frame_err"])
-            fc = np.asarray(host_out["frame_cnt"])
-            upd = fc > 0
-            self.latest_vars["sil_err"][upd] = fe[upd]
+            # host bookkeeping runs one step behind: reading aux/host_out of
+            # the step just launched would synchronize every iteration, and
+            # device->host sync latency (especially through a remote-TPU
+            # tunnel) then dominates the step time. Processing step i-1 while
+            # step i executes keeps the device busy.
+            if self._pending is not None:
+                self._process_step_outputs(*self._pending, epoch=epoch,
+                                           step_in_epoch=i - 1)
+            self._pending = (np.asarray(batch["frameid"]), aux, host_out)
+
+            self.total_steps_done += 1
+            self.counter_frz_rebone -= 1.0 / max(self.final_steps, 1)
 
             # near-far re-estimation after nf_reset progress (moda.py:485-491)
             if self.progress >= cfg.nf_reset and len(self.mesh_rest.vertices) > 100 \
@@ -558,22 +562,37 @@ class Trainer:
                                   self.latest_vars["rtk"], self.latest_vars["idk"], corners)
                 self._set_mvars(near_far=nf)
 
-            self.total_steps_done += 1
-            self.counter_frz_rebone -= 1.0 / max(self.final_steps, 1)
+        # flush the last step's outputs at epoch end
+        if self._pending is not None:
+            self._process_step_outputs(*self._pending, epoch=epoch,
+                                       step_in_epoch=ITERS_PER_EPOCH - 1)
+            self._pending = None
 
-            # explosion rollback (train_utils.py:971-974)
-            if (float(aux.get("nerf_root_rts_g", 0.0)) > cfg.clip_scale
-                    and self.total_steps_done > 200 * cfg.accu_steps):
-                latest = os.path.join(self.save_dir, "latest")
-                if os.path.exists(latest + ".params.npz"):
-                    self.load_model(latest)
+    def _process_step_outputs(self, fid, aux, host_out, epoch: int,
+                              step_in_epoch: int):
+        """Deferred host-side consumption of a finished step's outputs
+        (save_latest_vars, sil_err history, rollback check, logging)."""
+        cfg = self.cfg
+        self.latest_vars["rtk"][fid] = np.asarray(host_out["rtk"])
+        self.latest_vars["rt_raw"][fid] = np.asarray(host_out["rtk"])[:, :3, :4]
+        self.latest_vars["idk"][fid] = 1
+        fe = np.asarray(host_out["frame_err"])
+        fc = np.asarray(host_out["frame_cnt"])
+        upd = fc > 0
+        self.latest_vars["sil_err"][upd] = fe[upd]
 
-            if i % 50 == 0 and jax.process_index() == 0:
-                scalars = {k: float(v) for k, v in aux.items()
-                           if np.ndim(v) == 0}
-                scalars.update({"step": self.total_steps_done, "epoch": epoch,
-                                "progress": self.progress})
-                self._log(scalars)
+        # explosion rollback (train_utils.py:971-974), one step delayed
+        if (float(aux.get("nerf_root_rts_g", 0.0)) > cfg.clip_scale
+                and self.total_steps_done > 200 * cfg.accu_steps):
+            latest = os.path.join(self.save_dir, "latest")
+            if os.path.exists(latest + ".params.npz"):
+                self.load_model(latest)
+
+        if step_in_epoch % 50 == 0 and jax.process_index() == 0:
+            scalars = {k: float(v) for k, v in aux.items() if np.ndim(v) == 0}
+            scalars.update({"step": self.total_steps_done, "epoch": epoch,
+                            "progress": self.progress})
+            self._log(scalars)
 
     # ---------------------------------------------------------- persistence
     def save(self, tag: str):
