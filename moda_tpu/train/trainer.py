@@ -390,8 +390,9 @@ class Trainer:
         from moda_tpu.render.evalrender import make_frame_renderer
         if not hasattr(self, "_frame_renderer"):
             self._frame_renderer = make_frame_renderer(
-                self.model, self.cfg.render_size, self.cfg.ndepth, chunk=self.cfg.chunk)
-        ids = np.linspace(0, self.data_info.num_fr - 1, num_frames, dtype=int)
+                self.model, self.cfg.render_size, self.cfg.ndepth,
+                chunk=self.cfg.chunk, with_flow=True)
+        ids = np.linspace(0, self.data_info.num_fr - 2, num_frames, dtype=int)
         tiles = []
         rs = self.cfg.render_size
         for fi in ids:
@@ -401,11 +402,21 @@ class Trainer:
             px, py = float(rtk[0, 3, 2]), float(rtk[0, 3, 3])
             kaug = jnp.asarray([[max(2 * px / rs, 1e-6), max(2 * py / rs, 1e-6),
                                  0.0, 0.0]])
+            rtk_t = jnp.asarray(self.latest_vars["rtk"][fi + 1])[None]
             out = self._frame_renderer(self.params, self.mvars, rtk, kaug,
-                                       jnp.asarray([fi]), jnp.zeros((1,), jnp.int32))
+                                       jnp.asarray([fi]), jnp.zeros((1,), jnp.int32),
+                                       rtk_target=rtk_t,
+                                       frameid_target=jnp.asarray([fi + 1]))
             rgb = np.clip(out["img_coarse"], 0, 1)
             sil = np.repeat(np.clip(out["sil_coarse"], 0, 1), 3, axis=-1)
-            tiles.append(np.concatenate([rgb, sil], axis=1))
+            tile = [rgb, sil]
+            if "flo_coarse" in out:
+                # flow magnitude visualization channel
+                flo = out["flo_coarse"]
+                mag = np.clip(np.linalg.norm(flo, axis=-1, keepdims=True) * 2, 0, 1)
+                ang = (np.arctan2(flo[..., 1:2], flo[..., :1]) / np.pi + 1) / 2
+                tile.append(np.concatenate([mag, ang, 1 - mag], -1))
+            tiles.append(np.concatenate(tile, axis=1))
         n = int(np.ceil(np.sqrt(len(tiles))))
         H, W, _ = tiles[0].shape
         grid = np.ones((n * H, n * W, 3), np.float32)
