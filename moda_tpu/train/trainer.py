@@ -513,6 +513,13 @@ class Trainer:
         is_active = cfg.use_unc and self.progress >= cfg.warmup_steps
         step_fn = self.get_step_fn(use_fine, use_dskin, use_bones, is_active)
 
+        # epoch-invariant device arrays uploaded once (per-step transfer of
+        # base_rt/shape_samp would add host->device traffic every iteration)
+        shape_samp_dev = jnp.asarray(shape_samp)
+        shape_samp_valid_dev = jnp.asarray(shape_samp_valid, jnp.float32)
+        base_rt_dev = (jnp.asarray(self.latest_vars["rt_raw"]) if cfg.use_cam
+                       else jnp.zeros((self.data_info.num_fr, 3, 4)))
+
         for i in range(ITERS_PER_EPOCH * cfg.accu_steps):
             self.progress = self.total_steps_done / max(self.final_steps, 1)
             ind = SCH.compute_indicators(cfg, self.progress, i, self.counter_frz_rebone,
@@ -527,12 +534,11 @@ class Trainer:
                 shape_update=jnp.asarray(ind.shape_update, jnp.float32),
                 cvf_update=jnp.asarray(ind.cvf_update, jnp.float32),
                 sil_err_median=jnp.asarray(sil_med, jnp.float32),
-                shape_samp=jnp.asarray(shape_samp),
-                shape_samp_valid=jnp.asarray(shape_samp_valid, jnp.float32),
+                shape_samp=shape_samp_dev,
+                shape_samp_valid=shape_samp_valid_dev,
                 embed_alpha=jnp.asarray(
                     SCH.embedding_alpha(cfg, self.progress), jnp.float32),
-                base_rt=(jnp.asarray(self.latest_vars["rt_raw"]) if cfg.use_cam
-                         else jnp.zeros((self.data_info.num_fr, 3, 4))),
+                base_rt=base_rt_dev,
             )
             t_load0 = time.time()
             batch = next(self.loader)
