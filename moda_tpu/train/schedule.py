@@ -86,13 +86,11 @@ def use_dskin(cfg: MoDAConfig, epoch: int, num_epochs: int) -> bool:
 
 
 def use_bones(cfg: MoDAConfig, epoch: int, is_fine_tune: bool) -> bool:
-    """Bones disabled until the first epoch boundary of stage 1
-    (train_utils.py:637-641 + reinit at epoch 0, 1108-1112)."""
-    if not (cfg.lbs or cfg.neudbs):
-        return False
-    if is_fine_tune:
-        return True
-    return epoch >= 1  # re-enabled by the epoch-0 reinit_bones call
+    """Bones are disabled only during the (pre-epoch-loop) warmups; the
+    epoch-0 reinit_bones call re-enables them before the first main epoch
+    (train_utils.py:637-641 + 1108-1112), so every main epoch trains with
+    the deformation model."""
+    return cfg.lbs or cfg.neudbs
 
 
 def embedding_alpha(cfg: MoDAConfig, progress: float, num_freqs: int = 10) -> float:
