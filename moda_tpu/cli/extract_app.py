@@ -66,6 +66,8 @@ def main(argv=None):
     renderer = make_frame_renderer(trainer.model, cfg.render_size, cfg.ndepth,
                                    chunk=cfg.chunk)
     idx_render = parse_test_frames(cfg.test_frames, offsets)
+    rs = cfg.render_size
+    rgb_frames, sil_frames = [], []
     for fi in idx_render:
         fid = jnp.asarray(fi)
         if cfg.queryfw and len(mesh_rest.vertices) > 0:
@@ -77,6 +79,20 @@ def main(argv=None):
         rtk = trainer.latest_vars["rtk"][fi].copy()
         rtk[:3, 3] *= trainer.model.obj_scale
         np.savetxt(os.path.join(out_dir, f"{cfg.seqname}-cam-{fi:05d}.txt"), rtk)
+        # per-frame renders (extract.py save_output rgb/sil images + gifs)
+        if trainer.latest_vars["idk"][fi] > 0:
+            rtk_d = jnp.asarray(trainer.latest_vars["rtk"][fi])[None]
+            px, py = float(rtk_d[0, 3, 2]), float(rtk_d[0, 3, 3])
+            kaug = jnp.asarray([[max(2 * px / rs, 1e-6), max(2 * py / rs, 1e-6),
+                                 0.0, 0.0]])
+            out = renderer(trainer.params, trainer.mvars, rtk_d, kaug,
+                           jnp.asarray([fi]), jnp.zeros((1,), jnp.int32))
+            rgb_frames.append(np.clip(out["img_coarse"], 0, 1))
+            sil_frames.append(np.repeat(np.clip(out["sil_coarse"], 0, 1), 3, -1))
+    if rgb_frames:
+        from moda_tpu.viz.render_vis import save_gif
+        save_gif(os.path.join(out_dir, f"{cfg.seqname}-rgb.gif"), rgb_frames)
+        save_gif(os.path.join(out_dir, f"{cfg.seqname}-sil.gif"), sil_frames)
     print(f"exported {len(idx_render)} frames to {out_dir}")
 
 
