@@ -51,6 +51,10 @@ def main():
         ndepth=args.ndepth, num_epochs=args.epochs, feat_ndepth_grid=12,
         use_cam=True, logname="synth-conv", eikonal_wt=0.0,
         warmup_shape_ep=1, sample_grid3d=64,
+        # cameras are known (GT) -> no flow-only root warmup alternation,
+        # matching the reference's known-camera stages (template.sh ft1/ft2
+        # set --warmup_steps 0)
+        warmup_steps=0.0,
     )
     f = scene.focal * args.img_size / 2
     info = DataInfo(offset=(0, args.num_frames),
