@@ -194,3 +194,28 @@ def skin_colors(model: MoDAModel, params: Params, mesh: Mesh) -> np.ndarray:
     rng = np.random.default_rng(0)
     cmap = rng.uniform(0.1, 1.0, size=(B, 3))
     return (skin @ cmap).astype(np.float32)
+
+
+def radiance_colors(model: MoDAModel, params: Params, mesh: Mesh,
+                    frameid: int, view_dir: np.ndarray,
+                    env_frameid: int | None = None) -> np.ndarray:
+    """Vertex colors from the radiance field (ce_color=False path,
+    train_utils.py:538-546 + get_vertex_colors): evaluate the coarse MLP's
+    rgb branch at the canonical vertices with the frame's env code and the
+    given viewing directions. view_dir [V,3] (unnormalized ok)."""
+    import jax.numpy as jnp
+
+    v = jnp.asarray(mesh.vertices)
+    d = jnp.asarray(view_dir)
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    xyz_e = model.embed_xyz(v)
+    dir_e = model.embed_dir(d)
+    feats = [xyz_e, dir_e]
+    if model.cfg.env_code:
+        env = model.apply_env_code(params, jnp.asarray([env_frameid or frameid]))
+        feats.append(jnp.broadcast_to(env, (v.shape[0], env.shape[-1])))
+    if model.cfg.appearance_code:
+        app = model.apply_appearance_code(params, jnp.asarray([frameid]))
+        feats.append(jnp.broadcast_to(app, (v.shape[0], app.shape[-1])))
+    out = model.apply_coarse(params, jnp.concatenate(feats, -1))
+    return np.asarray(out[..., :3])
