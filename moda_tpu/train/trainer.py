@@ -476,9 +476,11 @@ class Trainer:
             self.train_one_epoch(epoch, shape_samp, shape_samp_valid)
             self.save("latest")
             self.save(str(epoch + 1))
+            render_now = (epoch in (0, cfg.num_epochs // 2, cfg.num_epochs - 1)
+                          or (cfg.num_epochs >= 20
+                              and epoch % max(1, cfg.num_epochs // 20) == 0))
             if self.cfg.render_size > 0 and jax.process_index() == 0 \
-                    and self.latest_vars["idk"].sum() > 0 \
-                    and (epoch % max(1, self.cfg.num_epochs // 20) == 0):
+                    and self.latest_vars["idk"].sum() > 0 and render_now:
                 try:
                     self.eval_renders(epoch)
                 except Exception as e:  # rendering must never kill training
