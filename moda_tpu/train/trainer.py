@@ -600,11 +600,17 @@ class Trainer:
         upd = fc > 0
         self.latest_vars["sil_err"][upd] = fe[upd]
 
-        # explosion rollback (train_utils.py:971-974), one step delayed
-        if (float(aux.get("nerf_root_rts_g", 0.0)) > cfg.clip_scale
-                and self.total_steps_done > 200 * cfg.accu_steps):
+        # explosion rollback (train_utils.py:971-974), one step delayed;
+        # cooldown keeps a persistently-large root grad from degenerating
+        # into a reload-per-step loop
+        root_g = float(aux.get("nerf_root_rts_g", 0.0))
+        if (root_g > cfg.clip_scale
+                and self.total_steps_done > 200 * cfg.accu_steps
+                and self.total_steps_done - getattr(self, "_last_rollback", -10**9) > 20):
             latest = os.path.join(self.save_dir, "latest")
             if os.path.exists(latest + ".params.npz"):
+                self._last_rollback = self.total_steps_done
+                self._log({"rollback_at": self.total_steps_done, "root_g": root_g})
                 self.load_model(latest)
 
         if step_in_epoch % 50 == 0 and jax.process_index() == 0:
