@@ -98,3 +98,24 @@ def test_marching_cubes_sphere():
     vn = (v / (n - 1)) * 2 - 1
     r = np.linalg.norm(vn, axis=-1)
     np.testing.assert_allclose(r.mean(), 0.5, atol=0.02)
+
+
+def test_ama_eval_pair_protocol():
+    """eval_pair: identical meshes -> ~0 chamfer, F~1; offset surface ->
+    positive chamfer (protocol of render_vis.py:382-425)."""
+    from moda_tpu.evals.ama import eval_pair
+    from moda_tpu.viz.render_vis import unit_sphere
+    from moda_tpu.extract.mesh import Mesh
+
+    sv, sf = unit_sphere(2)
+    a = Mesh((sv * 0.5).astype(np.float32), sf)
+    res_same = eval_pair(a, a, n_sample=2000, use_icp=False)
+    assert res_same["chamfer"] < 0.02
+    assert res_same["f@5%"] > 0.95
+
+    b = Mesh((sv * 0.65).astype(np.float32), sf)  # 30% larger radius
+    res_diff = eval_pair(a, b, n_sample=2000, use_icp=False)
+    assert res_diff["chamfer"] > 0.1
+    # ICP can't fix a scale difference; chamfer stays large
+    res_icp = eval_pair(a, b, n_sample=2000, use_icp=True)
+    assert res_icp["chamfer"] > 0.05
