@@ -55,6 +55,10 @@ def main():
         # matching the reference's known-camera stages (template.sh ft1/ft2
         # set --warmup_steps 0)
         warmup_steps=0.0,
+        # synthetic flows/grads run larger than real footage; the default
+        # rollback threshold (1*clip_scale, train_utils.py:971) would
+        # trigger on the normal regime here
+        clip_scale=100.0,
     )
     f = scene.focal * args.img_size / 2
     info = DataInfo(offset=(0, args.num_frames),
