@@ -127,7 +127,7 @@ class SynthScene:
                 frames[i] = self.render_frame(i)
             return frames[i]
 
-        refs, tgts = [], []
+        refs = []
         for (a, b) in pair_ids:
             refs.append((get(a), a, get(b), b))
 
