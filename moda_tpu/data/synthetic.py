@@ -17,9 +17,15 @@ import numpy as np
 
 @dataclass
 class SynthScene:
-    radius: float = 0.2
+    """Scale convention matches the reference's data normalization: the
+    model divides scene units by obj_scale=10 (near-far init [0,6] ->
+    bound 0.3, moda.py:232-247), so a camera at distance 3 lands at the
+    canonical base depth 0.3 and the object radius 1 -> 0.1 in model
+    units — the regime the shape priors and bound resets assume."""
+
+    radius: float = 1.0
     squash_amp: float = 0.3   # time-varying anisotropic scale (deformation)
-    cam_dist: float = 0.6
+    cam_dist: float = 3.0
     num_frames: int = 16
     img_size: int = 64
     focal: float = 2.0        # in units of image half-size
@@ -78,12 +84,12 @@ class SynthScene:
         o_obj = -R.T @ T
         o_obj = np.broadcast_to(o_obj, d_obj.shape)
 
-        depth = np.full((S, S), 0.05)
+        depth = np.full((S, S), self.cam_dist * 0.1)
         for _ in range(64):
             pts = o_obj + d_obj * depth[..., None]
             depth = depth + self.sdf(pts, t) * 0.9
         pts = o_obj + d_obj * depth[..., None]
-        hit = np.abs(self.sdf(pts, t)) < 2e-3
+        hit = np.abs(self.sdf(pts, t)) < 1e-2 * self.radius
 
         pts_c = self.canonical_pts(pts, t)
         img = np.where(hit[..., None], self.surface_color(pts_c), 1.0)
