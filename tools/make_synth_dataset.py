@@ -86,13 +86,14 @@ def main():
 
     # GT meshes per frame (marching cubes of the analytic SDF)
     n = 64
-    lin = np.linspace(-0.5, 0.5, n).astype(np.float32)
+    half = 1.5 * scene.radius
+    lin = np.linspace(-half, half, n).astype(np.float32)
     grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
     for i in range(args.num_frames):
         t = i / max(args.num_frames - 1, 1)
         sdf = -scene.sdf(grid.reshape(-1, 3), t).reshape(n, n, n)
         v, f_ = marching_cubes(sdf.astype(np.float32), 0.0)
-        v = (v - n / 2.0) / n * 1.0
+        v = (v - n / 2.0) / n * 2.0 * half
         Mesh(v.astype(np.float32), f_).export_obj(
             os.path.join(mesh_dir, "mesh-%05d.obj" % i))
 
