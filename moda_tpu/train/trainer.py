@@ -544,10 +544,11 @@ class Trainer:
             )
             t_load0 = time.time()
             batch = next(self.loader)
-            if self.mesh is not None:
+            if self.mesh is not None and \
+                    batch["frameid"].shape[0] % self.n_devices == 0:
                 batch_dev = {k: jax.device_put(v, self._batch_sharding)
                              for k, v in batch.items()}
-            else:
+            else:  # batch not divisible by the mesh -> replicate-free upload
                 batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
             t_load = time.time() - t_load0
 
