@@ -55,7 +55,7 @@ def _kb_kernel(feats_ref, vol_ref, b_ref, mvalid_ref, a_out_ref, *, inv_eps, pro
         a_out_ref[:] = prob1 / (a_out_ref[:] + 1e-8)
 
 
-@partial(jax.jit, static_argnames=("iters", "tile_m", "interpret"))
+@partial(jax.jit, static_argnames=("eps", "iters", "tile_m", "interpret"))
 def sinkhorn_lowrank(feats: jnp.ndarray, vol_feat: jnp.ndarray, eps: float = 0.03,
                      iters: int = 20, tile_m: int = 1024, interpret: bool = False):
     """Run Sinkhorn on K = exp(-(1 - feats@vol^T)/eps) without materializing K.
