@@ -80,7 +80,7 @@ def main():
                                      jax.random.key(0))
     jax.block_until_ready(aux["total_loss"])
 
-    n_steps = 20
+    n_steps = 50
     t0 = time.perf_counter()
     for i in range(n_steps):
         params, opt_state, aux, _ = step(params, opt_state, mvars, batch, extras,
