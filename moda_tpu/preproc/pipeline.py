@@ -138,14 +138,21 @@ def write_dp_features(seq_dir: str, database_root: str, seqname: str,
     """Write Densepose artifacts: per-frame vertex map (%05d.pfm, stored
     /50 as in compute_dp.py:97), 16x112x112 feature pfm, bbox txt.
     Without a CSE backend, zero features are emitted (training then runs
-    with --nouse_embed)."""
+    with --nouse_embed). ``cse_fn(img_bgr, mask) -> (feat [16,112,112],
+    vert_map [H,W], bbox [4])`` — e.g. ``preproc.cse_infer.CSEPredictor``
+    with converted detectron2 weights; the mask comes from the
+    write_masks stage (zeros if absent)."""
     out_dir = os.path.join(database_root, "Densepose", "Full-Resolution", seqname)
+    mask_dir = os.path.join(database_root, "Annotations", "Full-Resolution", seqname)
     os.makedirs(out_dir, exist_ok=True)
     for idx, p in enumerate(sorted(glob.glob(os.path.join(seq_dir, "*.jpg")))):
         img = cv2.imread(p)
         h, w = img.shape[:2]
+        mask_p = os.path.join(mask_dir, "%05d.png" % idx)
+        mask = (cv2.imread(mask_p, 0) > 0).astype(np.uint8) \
+            if os.path.exists(mask_p) else np.zeros((h, w), np.uint8)
         if cse_fn is not None:
-            feat, vert_map, bbox = cse_fn(img)
+            feat, vert_map, bbox = cse_fn(img, mask)
         else:
             feat = np.zeros((16, 112, 112), np.float32)
             vert_map = np.zeros((h, w), np.float32)
