@@ -109,7 +109,9 @@ def compute_flows(seq_dir: str, database_root: str, seqname: str,
 def write_masks(seq_dir: str, database_root: str, seqname: str,
                 mask_fn: Callable[[np.ndarray], np.ndarray]) -> None:
     """Run a segmentation callable over frames -> Annotations PNGs
-    (preprocess/mask.py role; PointRend is an injectable backend)."""
+    (preprocess/mask.py role). Use
+    ``preproc.pointrend_infer.PointRendPredictor(...).as_mask_fn()`` with
+    converted detectron2 PointRend weights for the reference's backend."""
     out_dir = os.path.join(database_root, "Annotations", "Full-Resolution", seqname)
     os.makedirs(out_dir, exist_ok=True)
     for p in sorted(glob.glob(os.path.join(seq_dir, "*.jpg"))):
