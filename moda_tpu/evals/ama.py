@@ -33,6 +33,12 @@ def eval_pair(pred: Mesh, gt: Mesh, n_sample: int = 10000, use_icp: bool = True
     g_center = gt.vertices.mean(0)
     p = p - pred.vertices.mean(0)
     g = g - g_center
+    # median-extent scale fit before ICP (render_vis.py:387-388 fits the
+    # median camera depth; centered meshes use the median radius, which
+    # removes the canonical-unit vs world-unit mismatch the same way)
+    fitted_scale = (np.median(np.linalg.norm(g, axis=-1))
+                    / max(np.median(np.linalg.norm(p, axis=-1)), 1e-12))
+    p = p * fitted_scale
     bbox = gt.vertices.max(0) - gt.vertices.min(0)
     max_edge = float(bbox.max())
 

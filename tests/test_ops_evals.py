@@ -101,8 +101,9 @@ def test_marching_cubes_sphere():
 
 
 def test_ama_eval_pair_protocol():
-    """eval_pair: identical meshes -> ~0 chamfer, F~1; offset surface ->
-    positive chamfer (protocol of render_vis.py:382-425)."""
+    """eval_pair: identical meshes -> ~0 chamfer, F~1; pure scale
+    difference is removed by the median-extent fit (render_vis.py:387-388
+    fits scale before ICP); genuine shape difference -> positive chamfer."""
     from moda_tpu.evals.ama import eval_pair
     from moda_tpu.viz.render_vis import unit_sphere
     from moda_tpu.extract.mesh import Mesh
@@ -113,9 +114,12 @@ def test_ama_eval_pair_protocol():
     assert res_same["chamfer"] < 0.02
     assert res_same["f@5%"] > 0.95
 
-    b = Mesh((sv * 0.65).astype(np.float32), sf)  # 30% larger radius
-    res_diff = eval_pair(a, b, n_sample=2000, use_icp=False)
-    assert res_diff["chamfer"] > 0.1
-    # ICP can't fix a scale difference; chamfer stays large
-    res_icp = eval_pair(a, b, n_sample=2000, use_icp=True)
-    assert res_icp["chamfer"] > 0.05
+    # 30% scale difference: removed by the protocol's fitted scale
+    b = Mesh((sv * 0.65).astype(np.float32), sf)
+    res_scale = eval_pair(a, b, n_sample=2000, use_icp=True)
+    assert res_scale["chamfer"] < 0.03
+
+    # genuine shape difference (sphere vs 2:1 ellipsoid) survives the fit
+    c = Mesh((sv * np.asarray([1.0, 0.5, 0.5])).astype(np.float32), sf)
+    res_shape = eval_pair(a, c, n_sample=2000, use_icp=True)
+    assert res_shape["chamfer"] > 0.05
