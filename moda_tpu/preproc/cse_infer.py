@@ -167,6 +167,26 @@ def convert_cse_head(sd: Dict[str, np.ndarray],
     return params
 
 
+def load_detectron2_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a detectron2 checkpoint file into a plain numpy dict.
+
+    Handles both formats d2 ships: ``.pkl`` (pickle of numpy arrays under
+    a 'model' key — no torch needed) and ``.pth`` (torch zip pickle).
+    """
+    if path.endswith(".pkl"):
+        import pickle
+        with open(path, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+        model = data.get("model", data)
+        return {k: np.asarray(v) for k, v in model.items()
+                if isinstance(v, np.ndarray) or np.isscalar(v)}
+    import torch
+    ck = torch.load(path, map_location="cpu", weights_only=False)
+    model = ck.get("model", ck)
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in model.items()}
+
+
 def convert_cse_checkpoint(sd: Dict[str, np.ndarray]):
     """Full detectron2 DensePose-CSE checkpoint -> CSEPredictor.
 

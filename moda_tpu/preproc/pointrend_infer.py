@@ -366,6 +366,13 @@ class PointRendPredictor:
 
 
 # ------------------------------------------------------------- converters
+def load_pointrend_checkpoint(path: str, **kw) -> "PointRendPredictor":
+    """Read a detectron2 PointRend checkpoint file -> PointRendPredictor."""
+    from moda_tpu.preproc.cse_infer import load_detectron2_state_dict
+    return PointRendPredictor(
+        convert_pointrend_checkpoint(load_detectron2_state_dict(path)), **kw)
+
+
 def _fc(sd, name):
     return {"kernel": sd[name + ".weight"].T.astype(np.float32),
             "bias": sd[name + ".bias"].astype(np.float32)}
