@@ -613,6 +613,25 @@ class Trainer:
                 self._last_rollback = self.total_steps_done
                 self._log({"rollback_at": self.total_steps_done, "root_g": root_g})
                 self.load_model(latest)
+                # reset Adam moments: keeping the exploded trajectory's
+                # (tiny) second moments while at peak OneCycle LR makes the
+                # first post-reload steps enormous — observed to saturate
+                # the SDF into the zero-density/zero-gradient regime within
+                # ~25 steps, after which training is unrecoverable
+                if getattr(self, "opt_state", None) is not None:
+                    self.opt_state = self.optimizer.init(self.params)
+
+        # dead-density tripwire: a saturated SDF yields exactly-zero
+        # density gradients; flag it loudly instead of training air
+        if float(aux.get("nerf_coarse_g", 1.0)) == 0.0:
+            self._dead_density_steps = getattr(self, "_dead_density_steps", 0) + 1
+            if self._dead_density_steps == 50:
+                self._log({"dead_density_at": self.total_steps_done})
+                print("warning: density gradient has been exactly zero for "
+                      "50 steps — the SDF likely collapsed; consider "
+                      "reloading an earlier checkpoint with a lower LR")
+        else:
+            self._dead_density_steps = 0
 
         if step_in_epoch % 50 == 0 and jax.process_index() == 0:
             scalars = {k: float(v) for k, v in aux.items() if np.ndim(v) == 0}
