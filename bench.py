@@ -1,28 +1,50 @@
-"""Training-throughput benchmark: rays/sec on one chip, production step shape.
+"""Training-throughput benchmark: all three recipe stage shapes on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
-Step shape matches the reference recipe (BASELINE.md): batch 256 line
-pairs x nsample 4 px x ndepth 128 depth samples -> 2048 rays x 128
-samples per optimization step, full loss set (feat-match OT, projection,
-cycle, flow, uncertainty).
+Measured per stage (scripts/template.sh; reference scripts/template.sh:7-63):
+  init : batch 256 line pairs x nsample 4 px x ndepth 128, no fine pass
+  ft1  : nsample 6 (stage default), freeze_proj program
+  ft2  : nsample 4 split 2 uniform + 2 active (4x unc-scored candidate
+         pool, moda.py:1062) + fine importance pass + eikonal 0.1
 
-vs_baseline: the reference publishes no throughput (BASELINE.md); we use a
-2xA100 estimate of 2.0e5 rays/sec derived from the recipe's wall-clock
-envelope (120 epochs x 200 iters in a few hours at 2048 rays/step).
+For each stage we report rays/s, ms/step, TFLOP/s and MFU, with FLOPs
+taken from the compiled program's own cost analysis (not an estimate).
+Matmul precision is pinned to the same value training uses
+(moda_tpu.runtime.setup_jax) and recorded in the output.
+
+vs_baseline: the reference publishes no throughput (BASELINE.md "Baseline
+denominator"); we use 2.0e5 rays/s — the conservative (higher) of two
+estimates for the 2xGPU reference documented there.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+BASELINE_RAYS_PER_SEC = 2.0e5  # see BASELINE.md "Baseline denominator"
 
-def main():
-    from moda_tpu.runtime import setup_jax
-    setup_jax()
+# peak dense matmul TFLOP/s for the precision the MXU actually runs
+# (bf16 multiply / f32 accumulate under jax "default" f32 matmul precision)
+PEAK_TFLOPS = {
+    "v5 lite": 197.0, "v5e": 197.0, "v5litepod": 197.0,
+    "v4": 275.0, "v5p": 459.0, "v6e": 918.0, "v6 lite": 918.0,
+}
 
+
+def device_peak_tflops(dev) -> float | None:
+    kind = getattr(dev, "device_kind", "").lower()
+    for k, v in PEAK_TFLOPS.items():
+        if k in kind:
+            return v
+    return None
+
+
+def make_stage(name: str):
+    """Build (step_fn, args, rays_per_step) for one recipe stage shape."""
     import jax
     import jax.numpy as jnp
 
@@ -31,18 +53,30 @@ def main():
     from moda_tpu.train.optim import MoDAOptimizer
     from moda_tpu.train.step import StepExtras, make_train_step
 
-    # production shape: 256 line pairs, nsample 4, ndepth 128
-    # (template.sh:27, lineload layout: each batch entry is one 512-px row)
     n_pairs = 256
-    cfg = MoDAConfig(num_bones=25, img_size=512, nsample=4, ndepth=128,
-                     use_unc=True, feat_ndepth_grid=20, lineload=True)
     num_fr = 64
+    common = dict(num_bones=25, img_size=512, ndepth=128, feat_ndepth_grid=20,
+                  lineload=True)
+    if name == "init":
+        cfg = MoDAConfig(nsample=4, use_unc=True, eikonal_wt=0.001, **common)
+        use_fine, ns_uniform, ns_active = False, 4, 0
+    elif name == "ft1":
+        cfg = MoDAConfig(nsample=6, use_unc=True, freeze_proj=True,
+                         **common)
+        use_fine, ns_uniform, ns_active = False, 6, 0
+    elif name == "ft2":
+        # trainer.get_step_fn split with nactive=0.5: 2 uniform + 2 active
+        cfg = MoDAConfig(nsample=4, use_unc=True, eikonal_wt=0.1, **common)
+        use_fine, ns_uniform, ns_active = True, 2, 2
+    else:
+        raise ValueError(name)
+
     info = DataInfo(offset=(0, num_fr), intrinsics=((500.0, 500.0, 256.0, 256.0),))
     model = MoDAModel(cfg, info)
     params, mvars = model.init(jax.random.key(0))
 
     rng = np.random.default_rng(0)
-    P = cfg.img_size  # one pixel row per entry
+    P = cfg.img_size  # one pixel row per entry (lineload)
     bs2 = 2 * n_pairs
 
     def img(c):
@@ -60,11 +94,11 @@ def main():
         "lineid": jnp.asarray(rng.integers(0, cfg.img_size, size=bs2), jnp.int32),
     }
 
-    opt = MoDAOptimizer(cfg, total_steps=10000)
+    opt = MoDAOptimizer(cfg, total_steps=24000)
     opt_state = opt.init(params)
-    step = make_train_step(model, opt, nsample=cfg.nsample, ndepth=cfg.ndepth,
-                           use_fine=False, use_dskin=True, use_bones=True,
-                           donate=True)
+    step = make_train_step(model, opt, nsample=ns_uniform, ndepth=cfg.ndepth,
+                           use_fine=use_fine, use_dskin=True, use_bones=True,
+                           nsample_active=ns_active, donate=True)
     extras = StepExtras(
         progress=jnp.asarray(0.5), loss_select=jnp.asarray(1),
         root_update=jnp.asarray(1.0), body_update=jnp.asarray(1.0),
@@ -74,28 +108,94 @@ def main():
         shape_samp_valid=jnp.asarray(1.0),
         embed_alpha=jnp.asarray(10.0),
     )
+    rays_per_step = bs2 * (ns_uniform + ns_active)
+    return step, (params, opt_state, mvars, batch, extras), rays_per_step
 
-    # warmup / compile
-    params, opt_state, aux, _ = step(params, opt_state, mvars, batch, extras,
-                                     jax.random.key(0))
-    jax.block_until_ready(aux["total_loss"])
 
-    n_steps = 50
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        params, opt_state, aux, _ = step(params, opt_state, mvars, batch, extras,
-                                         jax.random.key(i + 1))
-    jax.block_until_ready(aux["total_loss"])
-    dt = time.perf_counter() - t0
+def compiled_flops(step, args, key) -> float | None:
+    """FLOPs/step from XLA's own cost analysis of the compiled program."""
+    try:
+        ca = step.lower(*args, key).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
 
-    rays_per_step = bs2 * cfg.nsample
+
+def bench_stage(name: str, n_steps: int = 50, profile_dir: str | None = None):
+    import jax
+
+    step, (params, opt_state, mvars, batch, extras), rays_per_step = make_stage(name)
+    key = jax.random.key(0)
+    flops = compiled_flops(step, (params, opt_state, mvars, batch, extras), key)
+
+    # warmup / compile (fetch a scalar: through the remote-TPU tunnel,
+    # block_until_ready acks dispatch without waiting for execution, so
+    # only a device->host value transfer proves the work ran)
+    params, opt_state, aux, _ = step(params, opt_state, mvars, batch, extras, key)
+    float(aux["total_loss"])
+
+    def run(n):
+        nonlocal params, opt_state, aux
+        t0 = time.perf_counter()
+        for i in range(n):
+            params, opt_state, aux, _ = step(params, opt_state, mvars, batch,
+                                             extras, jax.random.key(i + 1))
+        float(aux["total_loss"])  # forces the whole chain + round-trip
+        return time.perf_counter() - t0
+
+    # difference two chain lengths to cancel the fixed round-trip latency
+    n_small = max(n_steps // 10, 2)
+    t_small = run(n_small)
+    t_big = run(n_small + n_steps)
+    dt = max(t_big - t_small, 1e-9)
+    if profile_dir:
+        try:
+            with jax.profiler.trace(profile_dir):
+                run(5)
+        except Exception:
+            profile_dir = None
+
+    ms_per_step = dt / n_steps * 1e3
     rays_per_sec = rays_per_step * n_steps / dt
-    baseline_est = 2.0e5  # est. 2xA100 reference throughput (no published number)
+    peak = device_peak_tflops(jax.devices()[0])
+    tflops = (flops / (dt / n_steps)) / 1e12 if flops else None
+    out = {
+        "rays_per_sec": round(rays_per_sec, 1),
+        "ms_per_step": round(ms_per_step, 3),
+        "gflop_per_step": round(flops / 1e9, 2) if flops else None,
+        "tflops": round(tflops, 2) if tflops else None,
+        "mfu": round(tflops / peak, 4) if (tflops and peak) else None,
+        "rays_per_step": rays_per_step,
+    }
+    if profile_dir:
+        out["profile"] = profile_dir
+    return out
+
+
+def main():
+    from moda_tpu.runtime import setup_jax
+    setup_jax()
+
+    import jax
+
+    detail = {
+        "device": getattr(jax.devices()[0], "device_kind", str(jax.devices()[0])),
+        "matmul_precision": str(jax.config.jax_default_matmul_precision),
+        "peak_tflops": device_peak_tflops(jax.devices()[0]),
+    }
+    prof = os.environ.get("BENCH_PROFILE_DIR")  # set to capture a trace
+    for stage in ("init", "ft1", "ft2"):
+        detail[stage] = bench_stage(stage, profile_dir=prof if stage == "init" else None)
+
+    headline = detail["init"]["rays_per_sec"]
     print(json.dumps({
         "metric": "train_rays_per_sec",
-        "value": round(rays_per_sec, 1),
+        "value": headline,
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / baseline_est, 3),
+        "vs_baseline": round(headline / BASELINE_RAYS_PER_SEC, 3),
+        "detail": detail,
     }))
 
 

@@ -16,4 +16,8 @@ def setup_jax(cache_dir: str = "/root/.jax_cache"):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    # Pin matmul precision so training and bench measure the same numerics:
+    # 'default' = bf16 multiply / f32 accumulate on the MXU for f32 arrays
+    # (the implicit JAX default; made explicit so bench.py can report it).
+    jax.config.update("jax_default_matmul_precision", "default")
     return jax

@@ -1,0 +1,70 @@
+"""Mesh-based articulated synthetic fixture (data/synth_mesh.py) —
+the equivalent of the reference's eagle/hands GT generator
+(scripts/synthetic/render_synthetic.py)."""
+import numpy as np
+import pytest
+
+from moda_tpu.data.synth_mesh import MeshScene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return MeshScene(img_size=64, num_frames=8)
+
+
+def test_render_frame_basics(scene):
+    f = scene.render_frame(0)
+    S = scene.img_size
+    assert f["img"].shape == (S, S, 3) and f["mask"].shape == (S, S)
+    assert 0.01 < f["mask"].mean() < 0.5  # object visible, not filling frame
+    on = f["mask"] > 0
+    # CSE stand-in features are unit-norm on the object
+    norms = np.linalg.norm(f["feat"], axis=-1)[on]
+    assert np.abs(norms - 1).max() < 1e-5
+    # interpolated rest points lie inside the canonical bound
+    assert np.abs(f["rest_pts"][on]).max() <= scene.radius * 1.01
+
+
+def test_articulation_moves_wings(scene):
+    """The rig is articulated: wing verts move relative to the body."""
+    v0 = scene.posed_verts(0.0)
+    v1 = scene.posed_verts(0.125)  # quarter flap cycle
+    body = scene.weights[:, 0] > 0.99
+    wing = scene.weights[:, 1] > 0.99
+    assert np.abs(v1[body] - v0[body]).max() < 1e-5
+    assert np.abs(v1[wing] - v0[wing]).max() > 0.05
+
+
+def test_flow_cycle_consistency(scene):
+    """fw flow to frame j composed with bw flow back lands near the start
+    for co-visible pixels (exact correspondence up to rasterization)."""
+    f0, f1 = scene.render_frame(2), scene.render_frame(3)
+    S = scene.img_size
+    fw = scene.flow_between(f0, f1, 3) * S / 2.0
+    bw = scene.flow_between(f1, f0, 2) * S / 2.0
+    xs, ys = np.meshgrid(np.arange(S) + 0.5, np.arange(S) + 0.5)
+    xt = xs + fw[..., 0]
+    yt = ys + fw[..., 1]
+    xi = np.clip(xt.astype(int), 0, S - 1)
+    yi = np.clip(yt.astype(int), 0, S - 1)
+    both = (f0["mask"] > 0) & (f1["mask"][yi, xi] > 0)
+    err = np.stack([xt + bw[yi, xi, 0] - xs, yt + bw[yi, xi, 1] - ys], -1)
+    err = np.linalg.norm(err, axis=-1)[both]
+    # median sub-pixel (occluded wing pixels can legitimately disagree)
+    assert np.median(err) < 1.5
+
+
+def test_gt_meshes(scene):
+    v, f = scene.gt_mesh_cam(0)
+    assert v[:, 2].min() > 0  # in front of the camera
+    vr, fr = scene.gt_mesh_rest()
+    assert np.abs(vr).max() <= scene.radius * 1.001
+    assert f.max() < len(v) and fr.max() < len(vr)
+
+
+def test_make_batch_layout(scene):
+    batch = scene.make_batch([(0, 1), (2, 3)])
+    P = scene.img_size ** 2
+    assert batch["imgs"].shape == (4, 3, P)
+    assert batch["dp_feats"].shape == (4, 16, P)
+    assert batch["frameid"].tolist() == [0, 2, 1, 3]

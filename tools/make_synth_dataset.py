@@ -1,12 +1,20 @@
-"""Export the analytic synthetic scene as an on-disk DAVIS-layout dataset.
+"""Export a synthetic scene as an on-disk DAVIS-layout dataset.
 
 The artifact-producing role of scripts/synthetic/render_synthetic.py:
 JPEGImages/Annotations/FlowFW_d/Densepose + Cameras (GT rtk txt) + GT
-meshes (marching cubes of the analytic SDF) + configs/<seq>.config, so
-the standard CLI pipeline (train_app -> extract_app -> eval) runs on
-exact-GT data.
+meshes + configs/<seq>.config, so the standard CLI pipeline
+(train_app -> extract_app -> eval) runs on exact-GT data.
 
-  python tools/make_synth_dataset.py --out database/DAVIS --seqname a-ellipse
+Two scenes:
+  --scene blob  analytic deforming ellipsoid (data/synthetic.py) — cheap,
+                used by unit tests
+  --scene mesh  articulated flapping creature (data/synth_mesh.py) — the
+                quantitative fixture, equivalent of the reference's
+                eagle/hands sequences (GT camera-space meshes like
+                render_synthetic.py:127-129)
+
+  python tools/make_synth_dataset.py --out database/DAVIS --seqname a-flap \
+      --scene mesh --img_size 256 --num_frames 48 --lines
 """
 from __future__ import annotations
 
@@ -23,20 +31,26 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="database/DAVIS")
     ap.add_argument("--seqname", default="a-ellipse")
+    ap.add_argument("--scene", default="blob", choices=("blob", "mesh"))
     ap.add_argument("--img_size", type=int, default=128)
     ap.add_argument("--num_frames", type=int, default=16)
     ap.add_argument("--config_dir", default="configs")
+    ap.add_argument("--lines", action="store_true",
+                    help="also write img2lines Pixels shards for --lineload")
     args = ap.parse_args()
 
     import cv2
 
     from moda_tpu.data.pfm import write_pfm
-    from moda_tpu.data.synthetic import SynthScene
     from moda_tpu.extract.mesh import Mesh
-    from moda_tpu.native import marching_cubes
     from moda_tpu.preproc.pipeline import write_config
 
-    scene = SynthScene(img_size=args.img_size, num_frames=args.num_frames)
+    if args.scene == "mesh":
+        from moda_tpu.data.synth_mesh import MeshScene
+        scene = MeshScene(img_size=args.img_size, num_frames=args.num_frames)
+    else:
+        from moda_tpu.data.synthetic import SynthScene
+        scene = SynthScene(img_size=args.img_size, num_frames=args.num_frames)
     seq = args.seqname
     root = args.out
     img_dir = os.path.join(root, "JPEGImages", "Full-Resolution", seq)
@@ -84,18 +98,26 @@ def main():
                       np.concatenate([flo_bw, np.zeros_like(flo_bw[..., :1])], -1))
             write_pfm(os.path.join(bw_dir, "occ-%05d.pfm" % (i + d)), occ_bw)
 
-    # GT meshes per frame (marching cubes of the analytic SDF)
-    n = 64
-    half = 1.5 * scene.radius
-    lin = np.linspace(-half, half, n).astype(np.float32)
-    grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
-    for i in range(args.num_frames):
-        t = i / max(args.num_frames - 1, 1)
-        sdf = -scene.sdf(grid.reshape(-1, 3), t).reshape(n, n, n)
-        v, f_ = marching_cubes(sdf.astype(np.float32), 0.0)
-        v = (v - n / 2.0) / n * 2.0 * half
-        Mesh(v.astype(np.float32), f_).export_obj(
-            os.path.join(mesh_dir, "mesh-%05d.obj" % i))
+    # GT meshes per frame, camera space (render_synthetic.py:127-129)
+    if args.scene == "mesh":
+        for i in range(args.num_frames):
+            v, fc = scene.gt_mesh_cam(i)
+            Mesh(v, fc).export_obj(os.path.join(mesh_dir, "mesh-%05d.obj" % i))
+        v, fc = scene.gt_mesh_rest()
+        Mesh(v, fc).export_obj(os.path.join(mesh_dir, "mesh-rest.obj"))
+    else:
+        from moda_tpu.native import marching_cubes
+        n = 64
+        half = 1.5 * scene.radius
+        lin = np.linspace(-half, half, n).astype(np.float32)
+        grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
+        for i in range(args.num_frames):
+            t = i / max(args.num_frames - 1, 1)
+            sdf = -scene.sdf(grid.reshape(-1, 3), t).reshape(n, n, n)
+            v, f_ = marching_cubes(sdf.astype(np.float32), 0.0)
+            v = (v - n / 2.0) / n * 2.0 * half
+            Mesh(v.astype(np.float32), f_).export_obj(
+                os.path.join(mesh_dir, "mesh-%05d.obj" % i))
 
     fpx = scene.focal * S / 2
     write_config(args.config_dir, seq, img_dir, (S, S))
@@ -105,6 +127,13 @@ def main():
         f"ks = {S} {S} {S/2} {S/2}", f"ks = {fpx} {fpx} {S/2} {S/2}")
     with open(cfgp, "w") as fo:
         fo.write(txt)
+
+    if args.lines:
+        from moda_tpu.data.dataset import build_datasets
+        from moda_tpu.preproc.pipeline import write_lines
+        ds = build_datasets(seq, img_size=S, config_dir=args.config_dir)
+        write_lines(root, seq, S, ds)
+        print(f"wrote Pixels line shards for '{seq}'")
     print(f"wrote {args.num_frames} frames of '{seq}' under {root}")
 
 
