@@ -223,9 +223,13 @@ def build_rays(
         feats = feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-9)
         rays["feats_at_samp"] = feats
 
-    # bookkeeping for loss filters
+    # bookkeeping for loss filters: lineload errid indexes the per-line
+    # error buffer (frame*img_size + row, moda.py:1355); batch mode falls
+    # back to per-frame ids (moda.py:1408)
     rays["frameid"] = rf
-    if "errid" in batch:
+    if ray_lineid is not None:
+        rays["errid"] = rf * cfg.img_size + ray_lineid.astype(rf.dtype)
+    elif "errid" in batch:
         rays["errid"] = batch["errid"][ray_entry]
     return rays
 

@@ -54,6 +54,45 @@ def sil_loss_filter(sil_loss_samp, frameid, num_fr, sil_err_median, progress, wa
     return keep, frame_err, cnts
 
 
+def masked_median(x, mask):
+    """np.median over the masked subset, in-graph (sort + mid gather).
+    Empty subset -> +inf (nothing can exceed scale_factor * median)."""
+    n = mask.sum()
+    s = jnp.sort(jnp.where(mask, x, jnp.inf))
+    lo = s[jnp.maximum((n - 1) // 2, 0)]
+    hi = s[jnp.maximum(n // 2, 0)]
+    return jnp.where(n > 0, 0.5 * (lo + hi), jnp.inf)
+
+
+def sil_loss_filter_line(sil_loss_samp, errid, frameid, num_fr, img_size,
+                         progress, warmup_steps, scale_factor=10.0):
+    """Line-level outlier rejection for lineload training
+    (loss_utils.py:432-445 + moda.py:522-529) fully in-graph.
+
+    The reference scatters this step's per-sample sil errors into a
+    [num_fr*img_size] per-line buffer (one representative value per sampled
+    line), means the nonzero lines per frame, medians the nonzero frames
+    *of this step* (the buffer is zeroed each call), and rejects frames
+    above 10x that median. Here the per-line representative is the segment
+    mean of the line's samples (deterministic; the reference's last-write
+    scatter order is arbitrary) and the masked median is exact np.median
+    semantics. Returns (keep [R,1], frame_err [num_fr], frame_cnt [num_fr])."""
+    err = sil_loss_samp[..., 0]
+    nlines = num_fr * img_size
+    line_sum = jax.ops.segment_sum(err, errid, num_segments=nlines)
+    line_cnt = jax.ops.segment_sum((err > 0).astype(err.dtype), errid,
+                                   num_segments=nlines)
+    line_err = (line_sum / jnp.maximum(line_cnt, 1e-9)).reshape(num_fr, img_size)
+    fr_cnt = (line_err > 0).sum(-1).astype(err.dtype)
+    frame_err = line_err.sum(-1) / (1e-9 + fr_cnt)
+    med = masked_median(frame_err, frame_err > 0)
+    bad_frame = frame_err > med * scale_factor
+    ray_bad = bad_frame[frameid]
+    active = progress > warmup_steps
+    keep = jnp.where(active & ray_bad, 0.0, 1.0)[..., None]
+    return keep, frame_err, fr_cnt
+
+
 class StepExtras(NamedTuple):
     """Per-step dynamic scalars/arrays prepared by the trainer (host)."""
 
@@ -99,9 +138,16 @@ def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
         frame_err = jnp.zeros((model.num_fr,))
         frame_cnt = jnp.zeros((model.num_fr,))
         if cfg.loss_flt:
-            keep, frame_err, frame_cnt = sil_loss_filter(
-                rendered["sil_loss_samp"] * cfg.sil_wt, rays["frameid"],
-                model.num_fr, extras.sil_err_median, extras.progress, cfg.warmup_steps)
+            if cfg.lineload and "errid" in rays:
+                keep, frame_err, frame_cnt = sil_loss_filter_line(
+                    rendered["sil_loss_samp"] * cfg.sil_wt, rays["errid"],
+                    rays["frameid"], model.num_fr, cfg.img_size,
+                    extras.progress, cfg.warmup_steps)
+            else:
+                keep, frame_err, frame_cnt = sil_loss_filter(
+                    rendered["sil_loss_samp"] * cfg.sil_wt, rays["frameid"],
+                    model.num_fr, extras.sil_err_median, extras.progress,
+                    cfg.warmup_steps)
 
         loss_extras = {
             "loss_select": extras.loss_select,

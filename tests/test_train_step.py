@@ -193,3 +193,30 @@ def test_step_determinism(rng):
     assert float(a1["total_loss"]) == float(a2["total_loss"])
     d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), p1, p2)
     assert max(jax.tree_util.tree_leaves(d)) == 0.0
+
+
+def test_train_step_lineload_filter(rng):
+    """lineload batch (lineid present) routes the loss filter through the
+    in-graph per-line rejection (sil_loss_filter_line)."""
+    cfg, model, params, mvars = tiny_setup(lineload=True, loss_flt=True)
+    batch = tiny_batch(rng, cfg)
+    # lineload: observations are one row of img_size pixels per entry
+    S = cfg.img_size
+    for k, c in (("imgs", 3), ("masks", 1), ("vis2d", 1), ("flow", 2),
+                 ("occ", 1), ("dp_feats", 16)):
+        batch[k] = batch[k][:, :, :S]
+    batch["lineid"] = jnp.asarray([3, 5, 3, 5])
+    opt = MoDAOptimizer(cfg, total_steps=10)
+    step = make_train_step(model, opt, nsample=cfg.nsample, ndepth=cfg.ndepth,
+                           use_fine=False, use_dskin=False, use_bones=True,
+                           donate=False)
+    ex = default_extras(model, jax.random.key(9))
+    p, s, aux, host = step(params, opt.init(params), mvars, batch, ex,
+                           jax.random.key(0))
+    assert float(aux["grad_finite"]) == 1.0
+    assert np.isfinite(float(aux["total_loss"]))
+    # the per-frame error stats only touch this batch's frames
+    fe = np.asarray(host["frame_err"])
+    touched = np.unique(np.asarray(batch["frameid"]))
+    untouched = np.setdiff1d(np.arange(model.num_fr), touched)
+    assert (fe[untouched] == 0).all()
