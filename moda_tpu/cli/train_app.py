@@ -4,20 +4,45 @@ Usage (mirrors scripts/template.sh stage flags):
   python -m moda_tpu.cli.train_app --seqname cat-pikachiu-sub \
       --logname exp1 --num_epochs 120 --lineload --batch_size 256 ...
 
-Single-process (one TPU slice); multi-host would initialize
-jax.distributed here (the reference's torchrun/NCCL init at main.py:22-28
-is replaced by jax's runtime).
+Multi-host: when launched under a multi-process runtime (env vars below),
+``jax.distributed.initialize()`` forms the process group — the TPU
+equivalent of the reference's torchrun/NCCL init (main.py:22-28). Data
+sharding per process comes from PairLoader's process_index RNG streams
+(the DistributedSampler analogue, frameloader.py:40-45).
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 
 
+def maybe_init_distributed():
+    """Initialize the jax process group when multi-process env vars are
+    present (TPU pod runtimes set these; torchrun-style COORDINATOR vars
+    also accepted). No-op for the single-host case."""
+    import jax
+    n = os.environ.get("JAX_NUM_PROCESSES") or os.environ.get("NPROCS")
+    coord = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+             or os.environ.get("COORDINATOR_ADDRESS"))
+    pid = os.environ.get("JAX_PROCESS_ID") or os.environ.get("PROCESS_ID")
+    hosts = [h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+    try:
+        if coord and n:
+            jax.distributed.initialize(coordinator_address=coord,
+                                       num_processes=int(n),
+                                       process_id=int(pid or 0))
+        elif len(hosts) > 1:
+            jax.distributed.initialize()  # auto-detected multi-host TPU pod
+    except (RuntimeError, ValueError) as e:  # already initialized / partial env
+        print(f"jax.distributed.initialize skipped: {e}")
+
+
 def main(argv=None):
     from moda_tpu.runtime import setup_jax
     setup_jax()
+    maybe_init_distributed()
 
     from moda_tpu.cli.flags import parse_config
     from moda_tpu.config import DataInfo
@@ -49,7 +74,15 @@ def main(argv=None):
     import jax
     loader = PairLoader(datasets, cfg.batch_size, seed=0,
                         process_index=jax.process_index())
-    trainer = Trainer(cfg, info, loader=loader)
+    # eval datasets at render_size: eval renders use real crop kaug
+    # (train_utils.py:140 builds the reference eval loader this way)
+    try:
+        eval_datasets = build_datasets(cfg.seqname, cfg.render_size,
+                                       cfg.config_dir,
+                                       rtk_base=cfg.rtk_path or None)
+    except Exception:
+        eval_datasets = None
+    trainer = Trainer(cfg, info, loader=loader, eval_datasets=eval_datasets)
 
     # camera initialization: rtk files on disk (use_rtk_file / posenet export)
     if cfg.use_rtk_file or cfg.rtk_path:

