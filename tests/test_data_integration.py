@@ -112,3 +112,56 @@ def test_line_shard_roundtrip(davis_db):
     batch = collate_pairs([pair], data_offsets(ds))
     assert batch["imgs"].shape == (2, 3, 16)
     assert "lineid" in batch
+
+
+def test_pairloader_process_sharding(davis_db):
+    """Per-process data sharding (the DistributedSampler equivalent,
+    frameloader.py:40-45): distinct process_index -> disjoint RNG streams
+    (different batches), same index -> identical batches."""
+    root, seq = davis_db
+    from moda_tpu.data.dataset import PairLoader, build_datasets
+
+    ds = build_datasets(seq, img_size=32, config_dir=str(root / "configs"))
+
+    def first_batch(pi):
+        ld = PairLoader(ds, batch_size=2, seed=7, process_index=pi,
+                        num_threads=1, num_prefetch=1)
+        b = next(ld)
+        ld.close()
+        return b
+
+    b0, b0b, b1 = first_batch(0), first_batch(0), first_batch(1)
+    np.testing.assert_array_equal(b0["frameid"], b0b["frameid"])
+    np.testing.assert_array_equal(b0["imgs"], b0b["imgs"])
+    assert (not np.array_equal(b0["frameid"], b1["frameid"])
+            or not np.array_equal(b0["imgs"], b1["imgs"]))
+
+
+def test_maybe_init_distributed_noop(monkeypatch):
+    """Single-host: no env vars -> no initialize call."""
+    from moda_tpu.cli.train_app import maybe_init_distributed
+    for v in ("JAX_NUM_PROCESSES", "NPROCS", "JAX_COORDINATOR_ADDRESS",
+              "COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(v, raising=False)
+    # single-host axon image sets TPU_WORKER_HOSTNAMES=localhost; must not init
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    import jax
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: called.append((a, k)))
+    maybe_init_distributed()
+    assert called == []
+
+
+def test_maybe_init_distributed_env(monkeypatch):
+    from moda_tpu.cli.train_app import maybe_init_distributed
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    import jax
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **k: called.append(k))
+    maybe_init_distributed()
+    assert called == [{"coordinator_address": "10.0.0.1:1234",
+                       "num_processes": 4, "process_id": 2}]
