@@ -124,12 +124,26 @@ class PoseWarmup:
         np.savez(path, **_flatten({"cnn": self.params}))
 
     def load(self, path: str):
-        from moda_tpu.train.ckpt import _unflatten
-        self.params = _unflatten(dict(np.load(path)))["cnn"]
+        """npz: self-trained PoseCNN. .pth: the reference's pretrained
+        posenet checkpoint (template.sh --pose_cnn_path route,
+        train_utils.py:899-904), converted to the RefPoseNet port."""
+        if path.endswith(".pth"):
+            from moda_tpu.preproc.posenet import load_posenet
+            self.ref_params = load_posenet(path)
+        else:
+            from moda_tpu.train.ckpt import _unflatten
+            self.params = _unflatten(dict(np.load(path)))["cnn"]
 
     def predict(self, feats: np.ndarray) -> np.ndarray:
-        """feats [N,112,112,16] -> rtk [N,4,4] (base z=0.3 composed with the
-        predicted rotation; translation from base, as in forward_warmup)."""
+        """feats [N,112,112,16] -> rtk [N,4,4].
+
+        Pretrained route (ref_params set): full CNN delta (rotation +
+        translation) composed with the base, as refine_rt does. Self-trained
+        route: rotation only (base z=0.3 translation), since the from-scratch
+        warmup trains the rotation loss (moda.py:841)."""
+        if getattr(self, "ref_params", None) is not None:
+            from moda_tpu.preproc.posenet import predict_rtk
+            return predict_rtk(self.ref_params, feats)
         rts = np.asarray(self.net.apply({"params": self.params}, jnp.asarray(feats)))
         out = np.zeros((len(feats), 4, 4), np.float32)
         out[:, :3, :3] = rts[:, :9].reshape(-1, 3, 3)
