@@ -121,6 +121,10 @@ class MoDAModel:
             vid_offset=self.offset, delta=cfg.use_cam,
         )
 
+        if cfg.ft_cse:
+            from moda_tpu.fields.cse import CSENet
+            self.csenet = CSENet()
+
         # scale bookkeeping (moda.py:232-247): near/far starts at [0, 6],
         # obj_scale normalizes the scene to bound ~0.3
         near_far0 = np.zeros((self.num_fr, 2), np.float32)
@@ -190,6 +194,9 @@ class MoDAModel:
             params["appearance_code"] = self.appearance_code_net.init(next(keys), fid)["params"]
         if cfg.root_opt:
             params["nerf_root_rts"] = self.root_rts_net.init(next(keys), fid)["params"]
+        if cfg.ft_cse:
+            params["csenet"] = self.csenet.init(
+                next(keys), jnp.zeros((1, 32, 32, 3)))["params"]
         if cfg.ks_opt:
             params["ks_param"] = jnp.asarray(self.data_info.intrinsics, jnp.float32)
 
@@ -222,6 +229,11 @@ class MoDAModel:
 
     def apply_unc(self, params: Params, xyt_code: jnp.ndarray):
         return self.nerf_unc.apply({"params": params["nerf_unc"]}, xyt_code)
+
+    def apply_csenet(self, params: Params, imgs: jnp.ndarray):
+        """[N,H,W,3] crop images -> [N,H/2,W/2,16] unit embeddings (the
+        trainable ft_cse net, nnutils/cse.py:20-78 equivalent)."""
+        return self.csenet.apply({"params": params["csenet"]}, imgs)
 
     def apply_skin(self, params: Params, x: jnp.ndarray):
         return self.nerf_skin.apply({"params": params["nerf_skin"]}, x)

@@ -123,6 +123,30 @@ def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
         base_rt = extras.base_rt if cfg.use_cam else None
         rtk_all3 = model.compute_rts(params, base_rt=base_rt)
         rtk = batch_rtk(model, params, rtk_all3, batch)
+
+        # in-training CSE fine-tune (ft_cse, moda.py:1388-1398 + 723-731):
+        # run the trainable CSE on the batch crops, distill against the
+        # precomputed features, and feed the live features to the renderer.
+        # Batch mode only — lineload batches carry rows, not full crops.
+        csenet_loss = None
+        if cfg.ft_cse and cfg.use_embed and not cfg.lineload:
+            S = cfg.img_size
+            imgs2d = batch["imgs"].reshape(-1, 3, S, S).transpose(0, 2, 3, 1)
+            live = model.apply_csenet(params, imgs2d)       # [2B,S/2,S/2,16]
+            live = jax.image.resize(
+                live, (live.shape[0], S, S, live.shape[-1]), "linear")
+            live_flat = live.transpose(0, 3, 1, 2).reshape(live.shape[0], 16, -1)
+            pre = batch["dp_feats"]
+            valid_px = (jnp.abs(pre).sum(1, keepdims=True) > 0).astype(live_flat.dtype)
+            csenet_loss = 1e-5 * (
+                ((live_flat - pre) ** 2).sum(1, keepdims=True) * valid_px
+            ).sum() / jnp.maximum(valid_px.sum(), 1.0)
+            # grads flow from the main losses into the CSE net only after
+            # ftcse_steps (moda.py:1395-1398)
+            live_used = jnp.where(extras.progress > cfg.ftcse_steps, live_flat,
+                                  jax.lax.stop_gradient(live_flat))
+            batch = dict(batch)
+            batch["dp_feats"] = live_used
         rays = RB.build_rays(model, params, mvars, batch, rtk, k_rays, nsample,
                              nsample_active=nsample_active,
                              embed_alpha=extras.embed_alpha)
@@ -161,6 +185,11 @@ def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
         rtk_all = jnp.zeros((model.num_fr, 4, 4)).at[:, :3].set(rtk_all3)
         total, aux = L.total_loss(model, params, mvars, rendered, rays, rtk_all,
                                   loss_extras, k_loss)
+        if csenet_loss is not None and cfg.mt_cse:
+            # distill-only before mtcse_steps, additive after (moda.py:727-731)
+            total = jnp.where(extras.progress < cfg.mtcse_steps,
+                              csenet_loss, total + csenet_loss)
+            aux["csenet_loss"] = csenet_loss
         host_out = {
             "rtk": rtk,
             "frame_err": frame_err,

@@ -220,3 +220,37 @@ def test_train_step_lineload_filter(rng):
     touched = np.unique(np.asarray(batch["frameid"]))
     untouched = np.setdiff1d(np.arange(model.num_fr), touched)
     assert (fe[untouched] == 0).all()
+
+
+def test_train_step_ft_cse(rng):
+    """ft_cse: trainable CSE runs in the step, distill loss is logged and
+    its params receive updates (moda.py:1388-1398 + 723-731)."""
+    cfg, model, params, mvars = tiny_setup(ft_cse=True)
+    assert "csenet" in params
+    batch = tiny_batch(rng, cfg)
+    opt = MoDAOptimizer(cfg, total_steps=10)
+    step = make_train_step(model, opt, nsample=cfg.nsample, ndepth=cfg.ndepth,
+                           use_fine=False, use_dskin=False, use_bones=True,
+                           donate=False)
+    ex = default_extras(model, jax.random.key(9))
+    p, s, aux, _ = step(params, opt.init(params), mvars, batch, ex, jax.random.key(0))
+    assert float(aux["grad_finite"]) == 1.0
+    assert np.isfinite(float(aux["csenet_loss"]))
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                               p["csenet"], params["csenet"])
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_train_step_ft_cse_distill_only_phase(rng):
+    """progress < mtcse_steps: total = csenet_loss alone, so the shape MLP
+    receives zero gradient (moda.py:727-729)."""
+    cfg, model, params, mvars = tiny_setup(ft_cse=True, mtcse_steps=0.9)
+    batch = tiny_batch(rng, cfg)
+    opt = MoDAOptimizer(cfg, total_steps=10)
+    step = make_train_step(model, opt, nsample=cfg.nsample, ndepth=cfg.ndepth,
+                           use_fine=False, use_dskin=False, use_bones=True,
+                           donate=False)
+    ex = default_extras(model, jax.random.key(9))  # progress 0.5 < 0.9
+    p, s, aux, _ = step(params, opt.init(params), mvars, batch, ex, jax.random.key(0))
+    assert float(aux["nerf_coarse_g"]) == 0.0
+    assert float(aux["csenet_g"]) > 0.0
