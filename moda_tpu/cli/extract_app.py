@@ -68,6 +68,7 @@ def main(argv=None):
     idx_render = parse_test_frames(cfg.test_frames, offsets)
     rs = cfg.render_size
     rgb_frames, sil_frames = [], []
+    raw_shapes = [None] * len(datasets)
     for fi in idx_render:
         fid = jnp.asarray(fi)
         if cfg.queryfw and len(mesh_rest.vertices) > 0:
@@ -79,6 +80,27 @@ def main(argv=None):
         rtk = trainer.latest_vars["rtk"][fi].copy()
         rtk[:3, 3] *= trainer.model.obj_scale
         np.savetxt(os.path.join(out_dir, f"{cfg.seqname}-cam-{fi:05d}.txt"), rtk)
+        # camera trajectory + reference silhouette for the NVS tool
+        # (render_vis.py:501-535: ctraj = [R|T ; scaled K], refsil = mesh mask)
+        if len(mesh_i.vertices) > 0:
+            import cv2
+            from moda_tpu.viz.render_vis import mesh_silhouette
+            di = int(np.searchsorted(np.asarray(offsets), fi, side="right")) - 1
+            sub = fi - offsets[di]
+            if raw_shapes[di] is None:
+                m = cv2.imread(datasets[di].reader.paths.masklist[0], 0)
+                raw_shapes[di] = m.shape if m is not None else (rs, rs)
+            H0, W0 = raw_shapes[di]
+            sc = min(1.0, 512.0 / max(H0, W0))
+            H1, W1 = max(int(H0 * sc), 1), max(int(W0 * sc), 1)
+            # model-unit camera (consistent with the exported meshes and the
+            # NeRF NVS renderer); row 3 = raw intrinsics rescaled to sil size
+            ctraj = trainer.latest_vars["rtk"][fi].copy()
+            ctraj[3] = ctraj[3] * sc
+            sil = mesh_silhouette(mesh_i, ctraj, H1, W1)
+            np.savetxt(os.path.join(out_dir, f"{cfg.seqname}-ctrajs-{fi:05d}.txt"), ctraj)
+            cv2.imwrite(os.path.join(out_dir, f"{cfg.seqname}-refsil-{fi:05d}.png"),
+                        (sil * 128).astype(np.uint8))
         # per-frame renders (extract.py save_output rgb/sil images + gifs)
         if trainer.latest_vars["idk"][fi] > 0:
             rtk_d = jnp.asarray(trainer.latest_vars["rtk"][fi])[None]

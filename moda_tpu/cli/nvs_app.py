@@ -35,6 +35,47 @@ def main(argv=None):
     trainer = Trainer(cfg, info, loader=None)
     assert cfg.model_path, "--model_path required"
 
+    if cfg.rootdir:
+        # ctraj-file-driven NVS with reference-sil compositing
+        # (scripts/visualize/nvs.py:41-199; trajectories from extract_app's
+        # -ctrajs-/-refsil- exports or any saved root directory)
+        import cv2
+
+        from moda_tpu.extract.mesh import extract_mesh
+        from moda_tpu.viz.nvs import load_root, load_sils, render_nvs_ctraj
+
+        rtks = load_root(cfg.rootdir)
+        sils = load_sils(cfg.rootdir.replace("ctrajs", "refsil"))
+        if cfg.maxframe > 0:
+            sample_idx = np.linspace(0, len(rtks) - 1, cfg.maxframe).astype(int)
+        else:
+            sample_idx = np.arange(len(rtks))
+        rtks = rtks[sample_idx]
+        sils = [sils[i] for i in sample_idx]
+        embedids = sample_idx + offsets[cfg.vidid]
+        if cfg.bullet_time > -1:
+            embedids = np.full_like(embedids, cfg.bullet_time + offsets[cfg.vidid])
+
+        mesh_rest = extract_mesh(trainer.model, trainer.params,
+                                 trainer.latest_vars["obj_bound"],
+                                 cfg.sample_grid3d, cfg.mc_threshold)
+        frames = render_nvs_ctraj(trainer.model, trainer.params, trainer.mvars,
+                                  rtks, sils, embedids, cfg.ndepth,
+                                  scale=cfg.scale, chunk=cfg.chunk,
+                                  mesh_rest_verts=mesh_rest.vertices)
+        os.makedirs(os.path.dirname(cfg.nvs_outpath) or ".", exist_ok=True)
+        for i, f in enumerate(frames):
+            cv2.imwrite(f"{cfg.nvs_outpath}-rgb_{i:05d}.png",
+                        (np.clip(f["rgb"], 0, 1) * 255)[..., ::-1].astype(np.uint8))
+            cv2.imwrite(f"{cfg.nvs_outpath}-sil_{i:05d}.png",
+                        (np.clip(f["sil"], 0, 1) * 255).astype(np.uint8))
+            cv2.imwrite(f"{cfg.nvs_outpath}-vis_{i:05d}.png",
+                        (np.clip(f["vis"], 0, 1) * 255).astype(np.uint8))
+        from moda_tpu.viz.nvs import save_gif
+        save_gif(f"{cfg.nvs_outpath}-rgb.gif", [f["rgb"] for f in frames])
+        print(f"wrote {len(frames)} NVS frames to {cfg.nvs_outpath}-*")
+        return
+
     out_dir = os.path.join(cfg.checkpoint_dir, cfg.logname + "-nvs")
     os.makedirs(out_dir, exist_ok=True)
     num_fr = info.num_fr

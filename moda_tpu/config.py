@@ -123,6 +123,13 @@ class MoDAConfig:
     ce_color: bool = True
     sample_grid3d: int = 64
     test_frames: str = "9"
+    # NVS (scripts/visualize/nvs.py:33-39 script flags)
+    rootdir: str = ""            # saved ctraj prefix (…-ctrajs-)
+    nvs_outpath: str = "tmp/nvs-"
+    bullet_time: int = -1        # frame id for bullet time (-1 = off)
+    vidid: int = 0               # video id for env/pose codes
+    maxframe: int = 0            # cap on rendered frames (0 = all)
+    scale: float = 0.1           # render scale wrt saved intrinsics
 
     # losses
     use_embed: bool = True

@@ -97,6 +97,25 @@ def render_mesh_view(mesh: Mesh, rtk: np.ndarray, size: int = 256,
     return img.astype(np.float32)
 
 
+def mesh_silhouette(mesh: Mesh, rtk: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Binary mesh silhouette at (height, width) with camera rtk — the
+    reference's refsil export source (render_vis.py:490,531-535 uses the
+    pyrender depth mask; here the native z-buffer's coverage mask)."""
+    if len(mesh.vertices) == 0:
+        return np.zeros((height, width), np.float32)
+    R_ = rtk[:3, :3]
+    T = rtk[:3, 3]
+    K = rtk[3]
+    cam = mesh.vertices @ R_.T + T
+    x = cam[:, 0] / np.maximum(cam[:, 2], 1e-6) * K[0] + K[2]
+    y = cam[:, 1] / np.maximum(cam[:, 2], 1e-6) * K[1] + K[3]
+    verts_px = np.stack([x, y, cam[:, 2]], -1)
+    _, _, mask = rasterize(verts_px, mesh.faces,
+                           np.ones((len(mesh.vertices), 1), np.float32),
+                           height, width)
+    return (mask > 0).astype(np.float32)
+
+
 def vertex_normals(mesh: Mesh) -> np.ndarray:
     v, f = mesh.vertices, mesh.faces
     fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])

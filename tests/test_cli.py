@@ -80,3 +80,26 @@ def test_extract_app_end_to_end(tmp_path, monkeypatch):
     files = os.listdir(out)
     assert any(f.endswith("mesh-rest.obj") for f in files)
     assert any("cam-" in f for f in files)
+    # NVS inputs exported alongside (render_vis.py:531-535 layout)
+    assert any("ctrajs-" in f for f in files)
+    assert any("refsil-" in f for f in files)
+
+    # ctraj-file-driven NVS with sil compositing (scripts/visualize/nvs.py)
+    from moda_tpu.cli import nvs_app
+    outpath = str(tmp_path / "nvs" / "t")
+    nvs_app.main([
+        "--seqname", seq, "--logname", "cli",
+        "--checkpoint_dir", str(tmp_path / "logdir"),
+        "--config_dir", str(tmp_path / "configs"),
+        "--model_path", str(tmp_path / "logdir" / "cli" / "latest"),
+        "--num_bones", "3", "--img_size", "32", "--ndepth", "8",
+        "--render_size", "8", "--sample_grid3d", "24", "--chunk", "256",
+        "--feat_ndepth_grid", "4",
+        "--rootdir", str(out / f"{seq}-ctrajs-"),
+        "--nvs_outpath", outpath, "--scale", "0.5", "--maxframe", "2",
+    ])
+    assert os.path.exists(outpath + "-rgb.gif")
+    assert os.path.exists(outpath + "-rgb_00000.png")
+    import cv2 as _cv2
+    rgb = _cv2.imread(outpath + "-rgb_00000.png")
+    assert rgb is not None and rgb.shape[0] == 24  # max(48,48)*0.5
