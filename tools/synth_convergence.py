@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--nsample", type=int, default=16)
     ap.add_argument("--ndepth", type=int, default=64)
     ap.add_argument("--out", type=str, default="logdir/synth-conv")
+    ap.add_argument("--assert_chamfer", type=float, default=0.0,
+                    help="exit non-zero unless chamfer_vs_gt <= this "
+                         "(0 = report only); makes the gate a hard check")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -109,6 +112,13 @@ def main():
         report["chamfer_vs_gt"] = cd
         report["gt_radius"] = scene.radius
     print(json.dumps(report, indent=2))
+    if args.assert_chamfer > 0:
+        cd = report.get("chamfer_vs_gt")
+        if cd is None or cd > args.assert_chamfer:
+            print(f"FAIL: chamfer {cd} > threshold {args.assert_chamfer} "
+                  f"(or no mesh extracted)")
+            sys.exit(1)
+        print(f"PASS: chamfer {cd} <= {args.assert_chamfer}")
 
 
 if __name__ == "__main__":
