@@ -73,7 +73,9 @@ def main(argv=None):
 
     import jax
     loader = PairLoader(datasets, cfg.batch_size, seed=0,
-                        process_index=jax.process_index())
+                        process_index=jax.process_index(),
+                        num_threads=cfg.n_data_workers,
+                        num_prefetch=max(4, cfg.n_data_workers))
     # eval datasets at render_size: eval renders use real crop kaug
     # (train_utils.py:140 builds the reference eval loader this way)
     try:

@@ -68,6 +68,7 @@ class MoDAConfig:
     num_epochs: int = 1000
     learning_rate: float = 5e-4
     batch_size: int = 2
+    n_data_workers: int = 8      # loader prefetch threads (moda.py:54)
     img_size: int = 512
     nsample: int = 6
     perturb: float = 1.0
