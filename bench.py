@@ -13,9 +13,10 @@ taken from the compiled program's own cost analysis (not an estimate).
 Matmul precision is pinned to the same value training uses
 (moda_tpu.runtime.setup_jax) and recorded in the output.
 
-vs_baseline: the reference publishes no throughput (BASELINE.md "Baseline
-denominator"); we use 2.0e5 rays/s — the conservative (higher) of two
-estimates for the 2xGPU reference documented there.
+vs_baseline: the reference publishes no throughput. The denominator is
+the modeled 2xA100 figure documented in BASELINE.md "Baseline
+denominator": 0.10 MFU x 312 TFLOP/s TF32 peak x 2048 rays / 1.39 TFLOP
+per step = 4.6e4 rays/s.
 """
 from __future__ import annotations
 
@@ -25,7 +26,7 @@ import time
 
 import numpy as np
 
-BASELINE_RAYS_PER_SEC = 2.0e5  # see BASELINE.md "Baseline denominator"
+BASELINE_RAYS_PER_SEC = 4.6e4  # see BASELINE.md "Baseline denominator"
 
 # peak dense matmul TFLOP/s for the precision the MXU actually runs
 # (bf16 multiply / f32 accumulate under jax "default" f32 matmul precision)

@@ -265,8 +265,12 @@ def build_line_datasets(seqname: str, img_size: int, config_dir: str = "configs"
         seqdir = os.path.basename(os.path.dirname(imgs[0]))
         pixels_dir = imgs[0].replace("JPEGImages", "Pixels").rsplit("/", 1)[0]
         rtk_path = rtk_base + "/" + seqdir if rtk_base else s.rtk_path
-        rtklist = (["%s-%05d.txt" % (rtk_path, k) for k in range(len(imgs))]
-                   if rtk_path else None)
+        if rtk_path:
+            rtklist = ["%s-%05d.txt" % (rtk_path, k) for k in range(len(imgs))]
+        else:
+            # default Cameras/ layout (FramePaths.from_imglist convention)
+            rtklist = [p.replace("JPEGImages", "Cameras").rsplit(".", 1)[0] + ".txt"
+                       for p in imgs]
         out.append(LineShardDataset(pixels_dir, imgs, img_size, dataid=i,
                                     rtklist=rtklist))
     return out

@@ -217,10 +217,15 @@ class Trainer:
 
     def preset_rootmlp(self):
         """warmup_rootmlp: write camera rotations into the explicit root
-        table (train_utils.py:662-666)."""
+        table (train_utils.py:662-666). With use_cam the base is a 6-dim
+        so3 *delta* on the prior cameras — identity init already matches
+        the cameras, so presetting only applies to the quat basis."""
+        if self.cfg.use_cam:
+            return
         rmat = self.latest_vars["rtk"][:, :3, :3]
         quats = np.asarray(Q.matrix_to_q(jnp.asarray(rmat)))
-        se3 = np.asarray(self.params["nerf_root_rts"]["base_rt"]["se3"])
+        # np.array (copy): np.asarray of a jax array is a read-only view
+        se3 = np.array(self.params["nerf_root_rts"]["base_rt"]["se3"])
         se3[:, 3:7] = quats
         self.params["nerf_root_rts"]["base_rt"]["se3"] = jnp.asarray(se3)
 

@@ -36,9 +36,10 @@ class SynthLoader:
 
 def make_trainer(tmp_path, num_epochs=2, img_size=32, num_frames=8, **cfg_kw):
     scene = SynthScene(img_size=img_size, num_frames=num_frames)
+    cfg_kw.setdefault("use_cam", True)
     cfg = MoDAConfig(
         num_bones=4, img_size=img_size, nsample=4, ndepth=16, num_epochs=num_epochs,
-        feat_ndepth_grid=6, use_cam=True, logname="synth", checkpoint_dir=str(tmp_path),
+        feat_ndepth_grid=6, logname="synth", checkpoint_dir=str(tmp_path),
         eikonal_wt=0.0, **cfg_kw)
     f = scene.focal * img_size / 2
     info = DataInfo(offset=(0, num_frames),
@@ -150,3 +151,20 @@ def test_eval_renders_uses_dataset_kaug(tmp_path):
     grid = cv2.imread(path)
     # each frame tile = [gt | rgb | sil | flow] -> width 4*rs per tile
     assert grid.shape[1] % (4 * rs) == 0
+
+
+def test_preset_rootmlp_writes_base_quats(tmp_path):
+    """warmup_rootmlp preset (train_utils.py:662-666): base quats come from
+    the installed cameras. Regression: np.asarray of a jax array is a
+    read-only view — preset must copy before writing."""
+    scene, tr = make_trainer(tmp_path, num_epochs=1, img_size=32, num_frames=4,
+                             use_cam=False)
+    tr.preset_rootmlp()
+    se3 = np.asarray(tr.params["nerf_root_rts"]["base_rt"]["se3"])
+    import jax.numpy as jnp
+    from moda_tpu.core import quat as Q
+    expect = np.asarray(Q.matrix_to_q(jnp.asarray(tr.latest_vars["rtk"][:, :3, :3])))
+    np.testing.assert_allclose(se3[:, 3:7], expect, atol=1e-6)
+    # use_cam: base is an so3 delta on the prior cams -> preset is a no-op
+    scene2, tr2 = make_trainer(tmp_path, num_epochs=1, img_size=32, num_frames=4)
+    tr2.preset_rootmlp()
