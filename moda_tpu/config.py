@@ -164,7 +164,6 @@ class MoDAConfig:
     dtype: str = "float32"       # compute dtype for field MLPs
     data_parallel: int = 1       # data-parallel mesh size (pjit over "data")
     feat_ndepth_grid: int = 20   # feat_match grid size
-    pallas_ot: bool = False      # fused low-rank Sinkhorn kernel (ops/pallas_sinkhorn)
 
     def replace(self, **kw) -> "MoDAConfig":
         return dataclasses.replace(self, **kw)

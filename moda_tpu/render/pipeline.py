@@ -201,14 +201,7 @@ def feat_match(model, params, feats, bound, grid_size, key, use_ot, is_training,
     vol_feat = vol_feat / jnp.maximum(jnp.linalg.norm(vol_feat, axis=-1, keepdims=True), 1e-9)
 
     cost = feats @ vol_feat.T  # [R, G^3] — MXU matmul
-    if use_ot and getattr(model.cfg, "pallas_ot", False):
-        # fused low-rank Sinkhorn (Pallas): K tiles recomputed in VMEM
-        from moda_tpu.ops.pallas_sinkhorn import sinkhorn_lowrank
-        a, b = sinkhorn_lowrank(feats, vol_feat, eps=0.03, iters=20)
-        K = jnp.exp(-(1.0 - cost) / 0.03)
-        T_m = a * K * b.T
-        prob_vol = T_m / jnp.sum(T_m, axis=1, keepdims=True)
-    elif use_ot:
+    if use_ot:
         # entropic OT with uniform marginals, 20 sinkhorn iterations
         # (loss_utils.py:344-381). Plain fp32 matvecs: XLA compiles this
         # loop extremely well on TPU (measured 0.02 ms fwd at 2048x8000);

@@ -1,7 +1,9 @@
 """Micro-benchmark: feat-match OT variants on the production shape.
 
-Compares (a) dense fp32 sinkhorn, (b) dense with bf16 K matvecs,
-(c) the Pallas low-rank fused kernel — [2048 rays x 8000 grid], 20 iters.
+Compares (a) dense fp32 sinkhorn vs (b) dense with bf16 K matvecs —
+[2048 rays x 8000 grid], 20 iters. (A Pallas low-rank fused kernel was
+measured and removed: the dense fp32 loop runs in 0.02 ms, ~0.03% of a
+training step, so there is nothing for a kernel to win.)
 """
 from __future__ import annotations
 
@@ -18,7 +20,6 @@ def main():
     setup_jax()
     import jax
     import jax.numpy as jnp
-    from moda_tpu.ops.pallas_sinkhorn import sinkhorn_lowrank
 
     N, M = 2048, 8000
     rng = np.random.default_rng(0)
@@ -57,13 +58,7 @@ def main():
 
         return jax.lax.fori_loop(0, 20, body, a)
 
-    @jax.jit
-    def pallas_lr(f, v):
-        a, b = sinkhorn_lowrank(f, v, eps=0.03, iters=20)
-        return a
-
-    for name, fn in [("dense_fp32", dense_fp32), ("dense_bf16", dense_bf16),
-                     ("pallas_lowrank", pallas_lr)]:
+    for name, fn in [("dense_fp32", dense_fp32), ("dense_bf16", dense_bf16)]:
         try:
             out = fn(f, v)
             jax.block_until_ready(out)
