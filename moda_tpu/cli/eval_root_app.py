@@ -16,9 +16,15 @@ from moda_tpu.evals.sim3 import align_sim3
 
 
 def load_cams(prefix: str, n: int) -> np.ndarray:
+    """Accepts extract_app's <prefix>-%05d.txt layout or a directory of
+    %05d.txt files (the Cameras/ GT layout)."""
+    import os
     out = []
     for i in range(n):
-        out.append(np.loadtxt(f"{prefix}-{i:05d}.txt"))
+        p = f"{prefix}-{i:05d}.txt"
+        if not os.path.exists(p):
+            p = os.path.join(prefix, f"{i:05d}.txt")
+        out.append(np.loadtxt(p))
     return np.stack(out)
 
 

@@ -57,3 +57,9 @@ python -m moda_tpu.cli.extract_app --seqname $seqname --logname $savename \
 # AMA-protocol score vs the GT meshes
 bash scripts/eval_ama.sh logdir/$savename-export \
   database/DAVIS/Meshes/Full-Resolution/$seqname | tee logdir/$savename-eval.json
+
+# root-pose accuracy vs GT cameras (eval_root protocol)
+n=$(ls database/DAVIS/Cameras/Full-Resolution/$seqname | wc -l)
+python -m moda_tpu.cli.eval_root_app logdir/$savename-export/$seqname-cam \
+  database/DAVIS/Cameras/Full-Resolution/$seqname $((n-1)) \
+  | tee logdir/$savename-rooteval.json
