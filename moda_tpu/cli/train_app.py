@@ -72,10 +72,14 @@ def main(argv=None):
     info = DataInfo(offset=offsets, intrinsics=tuple(intrinsics))
 
     import jax
+    # host-side pixel sampling: nsample uniform slots + the 4x active
+    # candidate pool per entry; ft_cse needs full crops in the batch
+    npix = None if cfg.ft_cse else 5 * cfg.nsample
     loader = PairLoader(datasets, cfg.batch_size, seed=0,
                         process_index=jax.process_index(),
                         num_threads=cfg.n_data_workers,
-                        num_prefetch=max(4, cfg.n_data_workers))
+                        num_prefetch=max(4, cfg.n_data_workers),
+                        npix=npix)
     # eval datasets at render_size: eval renders use real crop kaug
     # (train_utils.py:140 builds the reference eval loader this way)
     try:

@@ -97,17 +97,38 @@ def data_offsets(datasets: List[VideoDataset]) -> tuple:
     return tuple(off)
 
 
-def collate_pairs(pairs: List[Dict], offsets) -> Dict[str, np.ndarray]:
+PIXEL_KEYS = ("imgs", "masks", "vis2d", "flow", "occ", "dp_feats", "dps")
+
+
+def collate_pairs(pairs: List[Dict], offsets, npix: Optional[int] = None,
+                  rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
     """B pair dicts -> one [2B, ...] frame batch, reference ordering:
     first all reference frames, then all paired frames (moda.py:1362-1417).
-    frameid is made absolute via the video offsets."""
+    frameid is made absolute via the video offsets.
+
+    npix: sparse collation — per-entry pixel columns are sampled here and
+    only those are stacked (the host-side sampling contract of
+    sparsify_batch, fused into collation so the full rows are never
+    copied; matters on few-core hosts)."""
     B = len(pairs)
     keys = pairs[0]["frames"][0].keys()
     batch = {}
+    ids = None
+    if npix is not None:
+        P = np.asarray(pairs[0]["frames"][0]["imgs"]).shape[-1]
+        ids = rng.integers(0, P, size=(2 * B, npix)).astype(np.int32)
     for k in keys:
-        a = np.stack([p["frames"][0][k] for p in pairs])
-        b = np.stack([p["frames"][1][k] for p in pairs])
+        if ids is not None and k in PIXEL_KEYS:
+            a = np.stack([np.asarray(p["frames"][0][k])[:, ids[i]]
+                          for i, p in enumerate(pairs)])
+            b = np.stack([np.asarray(p["frames"][1][k])[:, ids[B + i]]
+                          for i, p in enumerate(pairs)])
+        else:
+            a = np.stack([p["frames"][0][k] for p in pairs])
+            b = np.stack([p["frames"][1][k] for p in pairs])
         batch[k] = np.concatenate([a, b], 0)
+    if ids is not None:
+        batch["pix_ids"] = ids
     fid = np.concatenate([
         np.stack([p["frameid"][0] for p in pairs]),
         np.stack([p["frameid"][1] for p in pairs]),
@@ -129,13 +150,39 @@ def collate_pairs(pairs: List[Dict], offsets) -> Dict[str, np.ndarray]:
     return batch
 
 
+def sparsify_batch(batch: Dict[str, np.ndarray], npix: int,
+                   rng: np.random.Generator) -> Dict[str, np.ndarray]:
+    """Host-side pixel sampling: keep only npix random pixel columns per
+    entry, recording their global ids in batch['pix_ids'] [2B, npix].
+
+    The device step only ever gathers nsample(+active pool) pixels per
+    entry; uploading full rows/frames through a remote-TPU link costs more
+    than the step itself (measured 25 MB -> ~0.4 s vs a 77 ms step), so
+    the sampling moves host-side. Layout contract with
+    render/rays.py::build_rays: columns [:nsample] are the uniform slots,
+    the last 4*(nsample+nsample_active) are the active candidate pool."""
+    per_px = [k for k in PIXEL_KEYS if k in batch]
+    P = batch[per_px[0]].shape[-1]
+    n = batch[per_px[0]].shape[0]
+    ids = rng.integers(0, P, size=(n, npix)).astype(np.int32)
+    out = dict(batch)
+    for k in per_px:
+        out[k] = np.take_along_axis(batch[k], ids[:, None, :], axis=2)
+    out["pix_ids"] = ids
+    return out
+
+
 class PairLoader:
     """Random pair batches with thread prefetch; per-process sharding by
-    disjoint RNG streams (replaces DistributedSampler)."""
+    disjoint RNG streams (replaces DistributedSampler).
+
+    npix: when set, batches are host-subsampled to npix pixel columns per
+    entry (sparsify_batch) before upload."""
 
     def __init__(self, datasets: List[VideoDataset], batch_size: int,
                  seed: int = 0, process_index: int = 0, num_prefetch: int = 4,
-                 num_threads: int = 4):
+                 num_threads: int = 4, npix: Optional[int] = None):
+        self.npix = npix
         self.datasets = datasets
         self.offsets = data_offsets(datasets)
         self.batch_size = batch_size
@@ -153,7 +200,7 @@ class PairLoader:
         with self._lock:
             picks = [int(self.rng.integers(0, len(self.datasets)))
                      for _ in range(self.batch_size)]
-            seeds = self.rng.integers(0, 2**31, size=self.batch_size)
+            seeds = self.rng.integers(0, 2**31, size=self.batch_size + 1)
         pairs = []
         for ds_idx, s in zip(picks, seeds):
             try:
@@ -162,7 +209,8 @@ class PairLoader:
                 print(f"warning: loading pair failed ({e}); falling back to 0")
                 pairs.append(self.datasets[ds_idx].sample_pair(
                     np.random.default_rng(0), idx=0))
-        return collate_pairs(pairs, self.offsets)
+        return collate_pairs(pairs, self.offsets, npix=self.npix,
+                             rng=np.random.default_rng(int(seeds[-1])))
 
     def _worker(self):
         while not self._stop.is_set():
@@ -176,7 +224,13 @@ class PairLoader:
                 raise
 
     def __next__(self):
-        return self.q.get()
+        while True:
+            try:
+                return self.q.get(timeout=5.0)
+            except queue.Empty:
+                if not any(t.is_alive() for t in self.threads):
+                    raise RuntimeError(
+                        "all PairLoader workers died (see tracebacks above)")
 
     def __iter__(self):
         return self
@@ -194,20 +248,51 @@ class LineShardDataset:
     layout as VideoDataset.sample_pair, with one row per sample (lineid)."""
 
     def __init__(self, pixels_dir: str, imglist: List[str], img_size: int,
-                 dataid: int = 0, rtklist: Optional[List[str]] = None):
+                 dataid: int = 0, rtklist: Optional[List[str]] = None,
+                 cache_bytes: int = 8 << 30):
         self.pixels_dir = pixels_dir
         self.img_size = img_size
         self.dataid = dataid
         self.num_frames = len(imglist)
         self.rtklist = rtklist
+        # in-memory caches: on few-core hosts the per-pair file parsing
+        # (np.load pickle rows + np.loadtxt cams) dominates the train loop;
+        # rows fill the cache up to cache_bytes then stop being added
+        self._cache_bytes = cache_bytes
+        self._cache_used = 0
+        self._row_cache: Dict = {}
+        self._meta_cache: Dict = {}
+        self._rtk_cache: Dict = {}
 
     def _load_rtk(self, idt: int) -> Optional[np.ndarray]:
         if self.rtklist is None:
             return None
-        try:
-            return np.loadtxt(self.rtklist[idt])
-        except (OSError, FileNotFoundError):
-            return None
+        if idt not in self._rtk_cache:
+            try:
+                self._rtk_cache[idt] = np.loadtxt(self.rtklist[idt])
+            except (OSError, FileNotFoundError):
+                self._rtk_cache[idt] = None
+        return self._rtk_cache[idt]
+
+    def _load_row(self, shard: str, idy: int):
+        key = (shard, idy)
+        row = self._row_cache.get(key)
+        if row is None:
+            row = np.load(os.path.join(shard, "%04d.npy" % idy),
+                          allow_pickle=True).item()
+            if self._cache_used < self._cache_bytes:
+                self._row_cache[key] = row
+                self._cache_used += sum(
+                    np.asarray(v).nbytes for v in row.values())
+        return row
+
+    def _load_meta(self, shard: str):
+        meta = self._meta_cache.get(shard)
+        if meta is None:
+            meta = np.load(os.path.join(shard, "rtk.npy"),
+                           allow_pickle=True).item()
+            self._meta_cache[shard] = meta
+        return meta
 
     def sample_pair(self, rng: np.random.Generator, idx: Optional[int] = None,
                     idy: Optional[int] = None) -> Dict[str, np.ndarray]:
@@ -221,8 +306,8 @@ class LineShardDataset:
                  if os.path.isdir(os.path.join(self.pixels_dir, f"{d}_{idt:05d}"))] or [1]
         dframe = int(rng.choice(cands))
         shard = os.path.join(self.pixels_dir, f"{dframe}_{idt:05d}")
-        row = np.load(os.path.join(shard, "%04d.npy" % idy), allow_pickle=True).item()
-        meta = np.load(os.path.join(shard, "rtk.npy"), allow_pickle=True).item()
+        row = self._load_row(shard, idy)
+        meta = self._load_meta(shard)
         kaug = np.asarray(meta["kaug"]).reshape(2, 4)
 
         rtk0 = self._load_rtk(idt)

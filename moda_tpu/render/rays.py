@@ -117,6 +117,13 @@ def build_rays(
     frameid = batch["frameid"]
     dataid = batch["dataid"]
     lineid = batch.get("lineid", None)
+    # host-sampled sparse batches (data/dataset.py sparsify_batch): the
+    # loader uploads only npix sampled pixel columns per entry instead of
+    # the full row/frame — host->device bytes shrink ~P/npix (measured
+    # 25 MB -> <1 MB per step through the remote-TPU tunnel). pix_ids
+    # [2B, npix] holds the global pixel ids; observation arrays are
+    # packed [2B, C, npix], gathered by local column.
+    pix_ids = batch.get("pix_ids", None)
     bs2 = rtk.shape[0]
     B = bs2 // 2
 
@@ -124,16 +131,26 @@ def build_rays(
     Rmat, Tmat, Kinv = cam.prepare_ray_cams(rtk, kaug)
 
     # ---------------- pixel selection -> per-ray (entry, pixel) ids
-    rand_inds_u = sample_pixel_ids(k_px, bs2, nsample, cfg.img_size, lineid)
+    if pix_ids is not None:
+        npix = pix_ids.shape[1]
+        rand_inds_u = pix_ids[:, :nsample]  # uniform slots
+    else:
+        rand_inds_u = sample_pixel_ids(k_px, bs2, nsample, cfg.img_size, lineid)
     # per-ray entry index, first half then second half
     ent_u_first = jnp.repeat(jnp.arange(B), nsample)
+    loc_u_first = jnp.tile(jnp.arange(nsample), B)
     pix_u_first = rand_inds_u[:B].reshape(-1)
     pix_u_second = rand_inds_u[B:].reshape(-1)
 
     if nsample_active > 0:
         ns_a = 4 * (nsample + nsample_active)  # candidate pool (moda.py:1062)
         K = B * nsample_active
-        cand_inds = sample_pixel_ids(k_act, bs2, ns_a, cfg.img_size, lineid)
+        if pix_ids is not None:
+            cand_loc0 = npix - ns_a  # pool occupies the last ns_a columns
+            cand_inds = pix_ids[:, cand_loc0:]
+        else:
+            cand_loc0 = 0
+            cand_inds = sample_pixel_ids(k_act, bs2, ns_a, cfg.img_size, lineid)
         cand_xys = ids_to_xys(cand_inds, cfg.img_size, lineid)
         # score candidates of the reference half
         ts_all = (batch["frameid_sub"].astype(jnp.float32) / model.max_ts * 2.0 - 1.0)
@@ -146,21 +163,28 @@ def build_rays(
         flat_scores = scores.reshape(-1)
         _, top = jax.lax.top_k(flat_scores, K)
         ent_a_first = top // ns_a
+        loc_a_first = cand_loc0 + top % ns_a
         pix_a_first = cand_inds[:B].reshape(-1)[top]
         # second half: same slots (reference uses first-half ranking for both)
         pix_a_second = cand_inds[B:].reshape(-1)[top]
 
         ent_first = jnp.concatenate([ent_u_first, ent_a_first])
+        loc_first = jnp.concatenate([loc_u_first, loc_a_first])
         pix_first = jnp.concatenate([pix_u_first, pix_a_first])
         pix_second = jnp.concatenate([pix_u_second, pix_a_second])
     else:
         ent_first = ent_u_first
+        loc_first = loc_u_first
         pix_first = pix_u_first
         pix_second = pix_u_second
 
     M = ent_first.shape[0]
     ray_entry = jnp.concatenate([ent_first, ent_first + B])  # [R]
     ray_pix = jnp.concatenate([pix_first, pix_second])  # [R]
+    # local column into the packed observation arrays (== global pixel id
+    # for dense batches; both halves share slot positions)
+    ray_loc = (jnp.concatenate([loc_first, loc_first]) if pix_ids is not None
+               else ray_pix)
     R = 2 * M
 
     ray_lineid = None if lineid is None else lineid[ray_entry]
@@ -210,8 +234,8 @@ def build_rays(
         rays["xysn"] = (xy1[:, None, :] @ jnp.swapaxes(Kinv[ray_entry], -1, -2))[:, 0, :2]
 
     # ---------------- observation targets (obs_to_rays, moda.py:1215-1260)
-    def gather(img):  # [2B, C, P] -> [R, C]
-        return img[ray_entry, :, ray_pix]
+    def gather(img):  # [2B, C, P|npix] -> [R, C]
+        return img[ray_entry, :, ray_loc]
 
     rays["img_at_samp"] = gather(batch["imgs"])
     rays["sil_at_samp"] = gather(batch["masks"])

@@ -624,11 +624,38 @@ class Trainer:
                                        step_in_epoch=ITERS_PER_EPOCH - 1)
             self._pending = None
 
+    def _fetch_outputs(self, aux, host_out):
+        """One packed device->host transfer for all of a step's outputs.
+
+        Naively reading each aux scalar / host_out array forces one
+        round-trip per leaf (~40 on logging steps) — at remote-tunnel
+        latency that dwarfs the step itself. A tiny jitted packer
+        concatenates every leaf into one f32 vector fetched with a single
+        np.asarray."""
+        import jax.tree_util as jtu
+
+        leaves, treedef = jtu.tree_flatten((aux, host_out))
+        shapes = [np.shape(l) for l in leaves]
+        sig = (treedef, tuple(shapes))
+        if getattr(self, "_packer_sig", None) != sig:
+            self._packer_sig = sig
+            self._packer = jax.jit(
+                lambda ls: jnp.concatenate(
+                    [jnp.ravel(x).astype(jnp.float32) for x in ls]))
+        flat = np.asarray(self._packer(leaves))
+        out, off = [], 0
+        for sh in shapes:
+            n = int(np.prod(sh)) if sh else 1
+            out.append(flat[off:off + n].reshape(sh))
+            off += n
+        return jtu.tree_unflatten(treedef, out)
+
     def _process_step_outputs(self, fid, aux, host_out, epoch: int,
                               step_in_epoch: int):
         """Deferred host-side consumption of a finished step's outputs
         (save_latest_vars, sil_err history, rollback check, logging)."""
         cfg = self.cfg
+        aux, host_out = self._fetch_outputs(aux, host_out)
         self.latest_vars["rtk"][fid] = np.asarray(host_out["rtk"])
         self.latest_vars["rt_raw"][fid] = np.asarray(host_out["rtk"])[:, :3, :4]
         self.latest_vars["idk"][fid] = 1

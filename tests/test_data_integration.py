@@ -165,3 +165,29 @@ def test_maybe_init_distributed_env(monkeypatch):
     maybe_init_distributed()
     assert called == [{"coordinator_address": "10.0.0.1:1234",
                        "num_processes": 4, "process_id": 2}]
+
+
+def test_sparsify_batch_ignores_non_pixel_arrays():
+    """Regression: rtk [2B,4,4] is ndim-3 but NOT per-pixel — sparsify must
+    only subsample the pixel-axis observation arrays (a silent worker death
+    from indexing rtk hung training at step 0)."""
+    from moda_tpu.data.dataset import sparsify_batch
+    b = {"imgs": np.zeros((4, 3, 512)), "masks": np.zeros((4, 1, 512)),
+         "rtk": np.zeros((4, 4, 4)), "kaug": np.zeros((4, 4)),
+         "frameid": np.zeros(4, np.int32)}
+    sp = sparsify_batch(b, 20, np.random.default_rng(0))
+    assert sp["rtk"].shape == (4, 4, 4)
+    assert sp["imgs"].shape == (4, 3, 20)
+    assert sp["pix_ids"].shape == (4, 20)
+
+
+def test_pairloader_raises_when_workers_die():
+    from moda_tpu.data.dataset import PairLoader
+    ld = PairLoader([], 2, num_threads=1)  # no datasets -> workers crash
+    try:
+        next(ld)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError:
+        pass
+    finally:
+        ld.close()

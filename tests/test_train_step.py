@@ -254,3 +254,54 @@ def test_train_step_ft_cse_distill_only_phase(rng):
     p, s, aux, _ = step(params, opt.init(params), mvars, batch, ex, jax.random.key(0))
     assert float(aux["nerf_coarse_g"]) == 0.0
     assert float(aux["csenet_g"]) > 0.0
+
+
+def test_sparse_batch_matches_dense_observations(rng):
+    """Host-subsampled batches (sparsify_batch) must produce rays whose
+    observations equal a manual gather of the dense batch at pix_ids."""
+    from moda_tpu.data.dataset import sparsify_batch
+    from moda_tpu.render import rays as RB
+    from tests.test_render_pipeline import make_rtk
+
+    cfg, model, params, mvars = tiny_setup()
+    batch = tiny_batch(rng, cfg)
+    host = {k: np.asarray(v) for k, v in batch.items()}
+    sp = sparsify_batch(host, npix=5 * cfg.nsample, rng=np.random.default_rng(3))
+    assert sp["pix_ids"].shape == (4, 5 * cfg.nsample)
+    assert sp["imgs"].shape == (4, 3, 5 * cfg.nsample)
+
+    sp_dev = {k: jnp.asarray(v) for k, v in sp.items()}
+    rtk = make_rtk(model, params, sp_dev)
+    rays = RB.build_rays(model, params, mvars, sp_dev, rtk, jax.random.key(0),
+                         cfg.nsample)
+    R = rays["img_at_samp"].shape[0]
+    assert R == 4 * cfg.nsample
+    # first half rays use uniform slots [:nsample] of entries 0..B-1
+    B = 2
+    for j in range(cfg.nsample):
+        ent, slot = 0, j
+        gid = sp["pix_ids"][ent, slot]
+        np.testing.assert_allclose(np.asarray(rays["img_at_samp"])[j],
+                                   host["imgs"][ent, :, gid], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rays["xys"])[j, 0], gid % cfg.img_size)
+
+
+def test_train_step_sparse_batch_with_active(rng):
+    """Full step on a sparse batch with active sampling enabled: the pool
+    comes from the last 4*nsample uploaded columns."""
+    from moda_tpu.data.dataset import sparsify_batch
+
+    cfg, model, params, mvars = tiny_setup()
+    batch = tiny_batch(rng, cfg)
+    host = {k: np.asarray(v) for k, v in batch.items()}
+    sp = sparsify_batch(host, npix=5 * cfg.nsample, rng=np.random.default_rng(3))
+    sp_dev = {k: jnp.asarray(v) for k, v in sp.items()}
+    opt = MoDAOptimizer(cfg, total_steps=10)
+    ns_a = cfg.nsample // 2
+    step = make_train_step(model, opt, nsample=cfg.nsample - ns_a,
+                           ndepth=cfg.ndepth, use_fine=False, use_dskin=False,
+                           use_bones=True, nsample_active=ns_a, donate=False)
+    ex = default_extras(model, jax.random.key(9))
+    p, s, aux, _ = step(params, opt.init(params), mvars, sp_dev, ex, jax.random.key(0))
+    assert float(aux["grad_finite"]) == 1.0
+    assert np.isfinite(float(aux["total_loss"]))

@@ -168,3 +168,17 @@ def test_preset_rootmlp_writes_base_quats(tmp_path):
     # use_cam: base is an so3 delta on the prior cams -> preset is a no-op
     scene2, tr2 = make_trainer(tmp_path, num_epochs=1, img_size=32, num_frames=4)
     tr2.preset_rootmlp()
+
+
+def test_fetch_outputs_packed_roundtrip():
+    """_fetch_outputs packs every aux/host_out leaf into one device->host
+    transfer and restores shapes/values exactly."""
+    import jax.numpy as jnp
+    t = Trainer.__new__(Trainer)
+    aux = {"a": jnp.asarray(1.5), "b": jnp.asarray(2.0)}
+    host = {"rtk": jnp.arange(32, dtype=jnp.float32).reshape(2, 4, 4),
+            "fe": jnp.asarray([0.1, 0.2, 0.0])}
+    a2, h2 = t._fetch_outputs(aux, host)
+    assert float(a2["a"]) == 1.5 and float(a2["b"]) == 2.0
+    np.testing.assert_allclose(h2["rtk"], np.arange(32).reshape(2, 4, 4))
+    np.testing.assert_allclose(h2["fe"], [0.1, 0.2, 0.0], atol=1e-7)
