@@ -257,6 +257,8 @@ def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
         aux.update(norms)
         aux["grad_finite"] = finite.astype(jnp.float32)
         aux["lr"] = optimizer.sched(opt_state.count)
+        # the dead-density tripwire must ignore intentional freezes
+        aux["shape_frozen"] = jnp.asarray(extras.shape_update, jnp.float32)
         return new_params, new_opt_state, aux, host_out
 
     return train_step

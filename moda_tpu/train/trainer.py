@@ -685,8 +685,11 @@ class Trainer:
                     self.opt_state = self.optimizer.init(self.params)
 
         # dead-density tripwire: a saturated SDF yields exactly-zero
-        # density gradients; flag it loudly instead of training air
-        if float(aux.get("nerf_coarse_g", 1.0)) == 0.0:
+        # density gradients; flag it loudly instead of training air.
+        # Steps where the schedule froze the shape legitimately zero these
+        # grads (apply_freeze_masks) and don't count.
+        if float(aux.get("nerf_coarse_g", 1.0)) == 0.0 \
+                and float(aux.get("shape_frozen", 0.0)) == 0.0:
             self._dead_density_steps = getattr(self, "_dead_density_steps", 0) + 1
             if self._dead_density_steps == 50:
                 self._log({"dead_density_at": self.total_steps_done})

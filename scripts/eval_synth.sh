@@ -20,8 +20,12 @@ if [ ! -d database/DAVIS/JPEGImages/Full-Resolution/$seqname ]; then
 fi
 
 model_prefix=$seqname-e$ep1-b$batch_size
+# GT cameras as fixed priors (use_cam: root MLP learns so3/trans deltas on
+# them, moda.py:1430-1443) — the known-camera route for synthetic-GT data;
+# free-camera optimization on monocular footage has a scale gauge freedom
+# that needs the posenet+real-video regime to stay pinned.
 common="--seqname $seqname --lineload --batch_size $batch_size \
-  --img_size $img_size --nouse_human --nosymm_shape --use_rtk_file \
+  --img_size $img_size --nouse_human --nosymm_shape --use_rtk_file --use_cam \
   ${EXTRA_FLAGS:-}"
 
 # stage 1: init (GT-camera init standing in for the posenet route)
