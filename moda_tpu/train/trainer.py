@@ -656,8 +656,12 @@ class Trainer:
         (save_latest_vars, sil_err history, rollback check, logging)."""
         cfg = self.cfg
         aux, host_out = self._fetch_outputs(aux, host_out)
+        # rtk = current composed estimate (prior ∘ learned delta). rt_raw is
+        # the RAW prior only (save_latest_vars stores the loader's rtk,
+        # moda.py:1356,1511-1512) — overwriting it with the composed pose
+        # would compound the delta into the next epoch's base_rt (use_cam),
+        # drifting cameras without bound.
         self.latest_vars["rtk"][fid] = np.asarray(host_out["rtk"])
-        self.latest_vars["rt_raw"][fid] = np.asarray(host_out["rtk"])[:, :3, :4]
         self.latest_vars["idk"][fid] = 1
         fe = np.asarray(host_out["frame_err"])
         fc = np.asarray(host_out["frame_cnt"])

@@ -182,3 +182,21 @@ def test_fetch_outputs_packed_roundtrip():
     assert float(a2["a"]) == 1.5 and float(a2["b"]) == 2.0
     np.testing.assert_allclose(h2["rtk"], np.arange(32).reshape(2, 4, 4))
     np.testing.assert_allclose(h2["fe"], [0.1, 0.2, 0.0], atol=1e-7)
+
+
+def test_rt_raw_keeps_prior_cameras(tmp_path):
+    """Regression: the composed (prior ∘ delta) pose must go to rtk only;
+    rt_raw is the raw prior that use_cam feeds back as base_rt — writing
+    the composed pose there compounds the delta every epoch."""
+    import jax.numpy as jnp
+    scene, tr = make_trainer(tmp_path, num_epochs=1, img_size=32, num_frames=4)
+    raw0 = tr.latest_vars["rt_raw"].copy()
+    fake = np.tile(np.eye(4, dtype=np.float32)[None], (2, 1, 1))
+    fake[:, 2, 3] = 9.9
+    host_out = {"rtk": jnp.asarray(fake),
+                "frame_err": jnp.zeros(4), "frame_cnt": jnp.zeros(4)}
+    aux = {"total_loss": jnp.asarray(0.1)}
+    tr._process_step_outputs(np.asarray([0, 1]), aux, host_out,
+                             epoch=0, step_in_epoch=1)
+    np.testing.assert_array_equal(tr.latest_vars["rt_raw"], raw0)
+    np.testing.assert_allclose(tr.latest_vars["rtk"][0, 2, 3], 9.9)
