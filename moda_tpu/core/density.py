@@ -13,9 +13,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def sdf_to_sigma(raw_sigma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
-    """raw_sigma: MLP output (the reference treats sdf = -raw). beta: scalar."""
-    ibeta = 1.0 / (jnp.abs(beta) + eps)
+def sdf_to_sigma(raw_sigma: jnp.ndarray, beta: jnp.ndarray,
+                 beta_min: float = 2e-3) -> jnp.ndarray:
+    """raw_sigma: MLP output (the reference treats sdf = -raw). beta: scalar.
+
+    beta_min floors the learned sharpness at the ray sample spacing scale
+    (near-far windows are ~0.25 model units / 128 samples ≈ 2e-3): the
+    reference has no floor (rendering.py:199 beta.abs()+1e-9) and when the
+    optimizer drives beta below the spacing the density transition falls
+    between samples — every ray renders empty, all shape gradients
+    vanish, and training dies irrecoverably (observed at beta=9e-4)."""
+    ibeta = 1.0 / jnp.maximum(jnp.abs(beta), beta_min)
     sdf = -raw_sigma
     sigma = 0.5 + 0.5 * jnp.sign(sdf) * jnp.expm1(-jnp.abs(sdf) * ibeta)
     return sigma * ibeta

@@ -73,3 +73,21 @@ def test_compositing_weights_sum_le_one(rng):
     _, weights, _ = D.compositing_weights(sigmas, deltas)
     total = np.asarray(weights).sum(-1)
     assert (total <= 1.0 + 1e-4).all()
+
+
+def test_sdf_to_sigma_beta_floor():
+    """Learned beta below the sample-spacing floor must not zero the
+    density field (the irrecoverable-collapse guard)."""
+    import jax.numpy as jnp
+    from moda_tpu.core.density import sdf_to_sigma
+    raw = jnp.linspace(-0.05, 0.05, 11)
+    tiny = sdf_to_sigma(raw, jnp.asarray(9e-4))
+    floored = sdf_to_sigma(raw, jnp.asarray(2e-3))
+    np.testing.assert_allclose(np.asarray(tiny), np.asarray(floored))
+    assert float(tiny.max()) > 1.0  # inside-surface density alive (~1/beta)
+    # above the floor the transform is untouched (reference parity regime)
+    a = sdf_to_sigma(raw, jnp.asarray(0.05))
+    ib = 1 / 0.05
+    sdf = -np.asarray(raw)
+    expect = (0.5 + 0.5 * np.sign(sdf) * np.expm1(-np.abs(sdf) * ib)) * ib
+    np.testing.assert_allclose(np.asarray(a), expect, rtol=1e-5)
