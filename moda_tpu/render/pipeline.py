@@ -162,7 +162,12 @@ def _inference(model, params, rays, xyz, dir_, dir_embedded, z_vals, key, noise_
     # texture-filtering semantic weight (rendering.py:172)
     semantic = cfg.scale_rgb * jax.nn.sigmoid(-10.0 * sigmas_raw)
 
-    sigmas = DN.sdf_to_sigma(sigmas_raw, params["nerf_beta"][0])
+    # floor the learned sharpness at 2x the actual sample spacing of this
+    # bundle — below ~1 spacing the density transition falls between
+    # samples, every ray renders empty and shape gradients die permanently
+    beta_min = 2.0 * jnp.mean(rays["far"] - rays["near"]) / S
+    sigmas = DN.sdf_to_sigma(sigmas_raw, params["nerf_beta"][0],
+                             beta_min=beta_min)
     alphas, weights, alpha_prod = DN.compositing_weights(sigmas, deltas)
 
     if clip_bound is not None:
