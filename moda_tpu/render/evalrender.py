@@ -20,8 +20,11 @@ from moda_tpu.render.pipeline import render_rays
 
 
 def make_frame_renderer(model: MoDAModel, render_size: int, ndepth: int,
-                        chunk: int = 32768, render_vis: bool = True,
+                        chunk: int = 32768, render_vis: bool = False,
                         with_flow: bool = False):
+    # render_vis: visibility-MLP culling is an NVS-only feature in the
+    # reference (nvs.py:150); its eval grid renders uncull
+    # (render_rays default, rendering.py:19)
     """Returns render_frame(params, mvars, rtk[1,4,4], kaug[1,4], frameid[1],
     dataid[1], [rtk_target, frameid_target]) -> dict of
     [render_size, render_size, C] images. with_flow renders flo_coarse

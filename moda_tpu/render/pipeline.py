@@ -445,12 +445,15 @@ def visibility_loss(model, params, xyz_pos, w_pos, bound, key, alpha=None):
     xyz_pos = jax.lax.stop_gradient(xyz_pos)
     w_pos = jax.lax.stop_gradient(w_pos)
     R, S = w_pos.shape
-    nsample = R * S
+    # per-ray normalization is by S only: the caller means over rays, which
+    # reproduces the reference's sum/(R*S) chunk scalar (loss_utils.py:136,
+    # 146). Dividing by R*S here double-counted R and trained the vis MLP
+    # ~2000x too weakly — eval/extraction culling then removed real geometry.
     xyz_neg = jax.random.uniform(key, (R, S, 3), minval=-1.0, maxval=1.0) * bound[None, None, :]
     vis_neg = model.apply_vis(params, model.embed_xyz(xyz_neg, alpha))[..., 0]
-    vis_loss_neg = -jax.nn.log_sigmoid(-vis_neg).sum(-1) * 0.1 / nsample
+    vis_loss_neg = -jax.nn.log_sigmoid(-vis_neg).sum(-1) * 0.1 / S
     vis_pos = model.apply_vis(params, model.embed_xyz(xyz_pos, alpha))[..., 0]
-    vis_loss_pos = -(jax.nn.log_sigmoid(vis_pos) * w_pos).sum(-1) / nsample
+    vis_loss_pos = -(jax.nn.log_sigmoid(vis_pos) * w_pos).sum(-1) / S
     return vis_loss_pos + vis_loss_neg
 
 

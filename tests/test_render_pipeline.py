@@ -190,3 +190,24 @@ def test_s3im_mode(rng):
     rays, rendered = run_forward(cfg, model, params, mvars, batch, jax.random.key(1))
     assert "s3im_loss" in rendered
     assert np.isfinite(float(rendered["s3im_loss"].mean()))
+
+
+def test_visibility_loss_reference_normalization(rng):
+    """Mean over rays of the per-ray vis loss must equal the reference's
+    sum/(R*S) chunk scalar (loss_utils.py:125-149) — regression for the
+    double division by R that trained the vis MLP ~2000x too weakly."""
+    import jax
+    from moda_tpu.render.pipeline import visibility_loss
+    cfg, model, params, mvars = tiny_setup()
+    R, S = 6, 5
+    key = jax.random.key(0)
+    xyz = jax.random.normal(jax.random.key(1), (R, S, 3)) * 0.1
+    w = jax.random.uniform(jax.random.key(2), (R, S))
+    out = visibility_loss(model, params, xyz, w, mvars.obj_bound, key)
+    vis_pos = model.apply_vis(params, model.embed_xyz(xyz))[..., 0]
+    xyz_neg = jax.random.uniform(key, (R, S, 3), minval=-1.0,
+                                 maxval=1.0) * mvars.obj_bound[None, None, :]
+    vis_neg = model.apply_vis(params, model.embed_xyz(xyz_neg))[..., 0]
+    expect = (-(jax.nn.log_sigmoid(vis_pos) * w).sum() / (R * S)
+              - jax.nn.log_sigmoid(-vis_neg).sum() * 0.1 / (R * S))
+    np.testing.assert_allclose(float(out.mean()), float(expect), rtol=1e-5)
