@@ -164,6 +164,9 @@ class MoDAConfig:
     dtype: str = "float32"       # compute dtype for field MLPs
     data_parallel: int = 1       # data-parallel mesh size (pjit over "data")
     feat_ndepth_grid: int = 20   # feat_match grid size
+    use_pallas: bool = True      # fused bf16 Pallas MLP kernels on the
+                                 # training hot path (eval stays fp32/XLA
+                                 # via MoDAModel.precise())
 
     def replace(self, **kw) -> "MoDAConfig":
         return dataclasses.replace(self, **kw)

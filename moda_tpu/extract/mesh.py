@@ -80,6 +80,7 @@ def largest_component(mesh: Mesh) -> Mesh:
 
 def make_grid_query(model: MoDAModel):
     """Jitted dense SDF(+visibility) evaluation over a [G^3,3] point set."""
+    model = model.precise()  # extraction is fp32/XLA (bit-compat eval path)
 
     @partial(jax.jit, static_argnames=("symm",))
     def query(params: Params, pts: jnp.ndarray, symm: bool = False):

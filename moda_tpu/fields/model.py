@@ -218,17 +218,45 @@ class MoDAModel:
     def embed_dir(self, d: jnp.ndarray, alpha=None) -> jnp.ndarray:
         return positional_embed(d, 4, alpha=alpha)
 
+    def precise(self):
+        """A view of this model with the Pallas bf16 kernels disabled —
+        the fp32/XLA path used by eval/extraction (SURVEY §7 bit-compat:
+        the eval path stays fp32; training may run reduced precision)."""
+        import copy
+        from dataclasses import replace
+        m = copy.copy(self)
+        m.cfg = replace(self.cfg, use_pallas=False)
+        return m
+
+    def _apply_mlp(self, mod: nets.NeRFMLP, p, x: jnp.ndarray,
+                   sigma_only: bool = False):
+        """Route an NeRFMLP through the fused Pallas kernel on TPU
+        (training hot path) or the flax module elsewhere.
+
+        sigma_only stays on flax: those call sites pass trunk-width inputs
+        and the eikonal loss needs grad-of-grad, which a custom_vjp kernel
+        cannot provide (losses.py:40-70)."""
+        if self.cfg.use_pallas and not sigma_only \
+                and jax.default_backend() == "tpu":
+            from moda_tpu.ops.fused_mlp import nerf_mlp_pallas
+            return nerf_mlp_pallas(
+                p, x, D=mod.D, in_xyz=mod.in_channels_xyz,
+                in_dir=mod.in_channels_dir, skips=tuple(mod.skips),
+                raw_feat=mod.raw_feat, sigma_only=sigma_only)
+        return mod.apply({"params": p}, x, sigma_only=sigma_only)
+
     def apply_coarse(self, params: Params, x: jnp.ndarray, sigma_only: bool = False):
-        return self.nerf_coarse.apply({"params": params["nerf_coarse"]}, x, sigma_only=sigma_only)
+        return self._apply_mlp(self.nerf_coarse, params["nerf_coarse"], x,
+                               sigma_only=sigma_only)
 
     def apply_feat(self, params: Params, xyz_e: jnp.ndarray):
-        return self.nerf_feat.apply({"params": params["nerf_feat"]}, xyz_e)
+        return self._apply_mlp(self.nerf_feat, params["nerf_feat"], xyz_e)
 
     def apply_vis(self, params: Params, xyz_e: jnp.ndarray):
-        return self.nerf_vis.apply({"params": params["nerf_vis"]}, xyz_e)
+        return self._apply_mlp(self.nerf_vis, params["nerf_vis"], xyz_e)
 
     def apply_unc(self, params: Params, xyt_code: jnp.ndarray):
-        return self.nerf_unc.apply({"params": params["nerf_unc"]}, xyt_code)
+        return self._apply_mlp(self.nerf_unc, params["nerf_unc"], xyt_code)
 
     def apply_csenet(self, params: Params, imgs: jnp.ndarray):
         """[N,H,W,3] crop images -> [N,H/2,W/2,16] unit embeddings (the
@@ -236,10 +264,10 @@ class MoDAModel:
         return self.csenet.apply({"params": params["csenet"]}, imgs)
 
     def apply_skin(self, params: Params, x: jnp.ndarray):
-        return self.nerf_skin.apply({"params": params["nerf_skin"]}, x)
+        return self._apply_mlp(self.nerf_skin, params["nerf_skin"], x)
 
     def apply_dis(self, params: Params, x: jnp.ndarray):
-        return self.nerf_dis.apply({"params": params["nerf_dis"]}, x)
+        return self._apply_mlp(self.nerf_dis, params["nerf_dis"], x)
 
     def apply_pose_code(self, params: Params, fid: jnp.ndarray):
         return self.pose_code.apply({"params": params["pose_code"]}, fid)

@@ -29,6 +29,7 @@ def make_frame_renderer(model: MoDAModel, render_size: int, ndepth: int,
     dataid[1], [rtk_target, frameid_target]) -> dict of
     [render_size, render_size, C] images. with_flow renders flo_coarse
     against the paired frame (eval grid parity, train_utils.py:500-505)."""
+    model = model.precise()  # eval renders stay fp32/XLA (no bf16 kernels)
 
     @jax.jit
     def _build(params, mvars, rtk, kaug, frameid, dataid):

@@ -24,3 +24,21 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    # Any test that jit-compiles a full train step takes minutes on the
+    # CPU×8 virtual-device backend; mark them slow automatically so
+    # `pytest -m "not slow"` is a genuine <5-min gate.
+    import inspect
+
+    for item in items:
+        fn = getattr(item, "function", None)
+        if fn is None:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        if "make_train_step" in src or "warmup_pose(" in src:
+            item.add_marker(pytest.mark.slow)

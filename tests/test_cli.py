@@ -31,6 +31,7 @@ def test_flagfile_roundtrip(tmp_path):
     assert cfg2.num_epochs == 7  # CLI overrides flagfile
 
 
+@pytest.mark.slow
 def test_extract_app_end_to_end(tmp_path, monkeypatch):
     """Init a model on a fake dataset, save, extract meshes+cams via CLI."""
     import cv2

@@ -15,8 +15,8 @@ def test_frame_renderer_chunked_matches_unchunked():
     fid = jnp.asarray([0])
     did = jnp.zeros((1,), jnp.int32)
 
-    r_full = make_frame_renderer(model, 8, cfg.ndepth, chunk=64)
-    r_chunk = make_frame_renderer(model, 8, cfg.ndepth, chunk=16)  # 4 chunks
+    r_full = make_frame_renderer(model, 8, cfg.ndepth, chunk=64, render_vis=True)
+    r_chunk = make_frame_renderer(model, 8, cfg.ndepth, chunk=16, render_vis=True)  # 4 chunks
     out_f = r_full(params, mvars, rtk, kaug, fid, did)
     out_c = r_chunk(params, mvars, rtk, kaug, fid, did)
     assert out_f["img_coarse"].shape == (8, 8, 3)

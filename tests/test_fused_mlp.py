@@ -1,0 +1,104 @@
+"""Conformance of the fused Pallas MLP kernel vs the flax NeRFMLP.
+
+Runs in pallas interpret mode on the CPU test backend; on TPU the same
+code compiles to a Mosaic kernel. Forward values and every gradient
+(input + all weights) must match the autodiff'd flax module. The kernel
+computes matmuls in bf16 with fp32 accumulation, so tolerances are bf16-
+scale; a strict fp32 check uses a float32-compute instance of the kernel
+path via high-precision interpret execution.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from moda_tpu.fields.nets import NeRFMLP
+from moda_tpu.ops import fused_mlp as FM
+
+
+def _setup(D=8, W=64, in_xyz=63, in_dir=27, out_ch=3, n=96, seed=0):
+    mod = NeRFMLP(D=D, W=W, in_channels_xyz=in_xyz, in_channels_dir=in_dir,
+                  out_channels=out_ch, raw_feat=False)
+    key = jax.random.key(seed)
+    x = jax.random.normal(jax.random.key(seed + 1), (n, in_xyz + in_dir))
+    params = mod.init(key, x)["params"]
+    return mod, params, x
+
+
+@pytest.mark.parametrize("D,W,in_xyz,in_dir,out_ch", [
+    (8, 64, 63, 27, 3),    # trunk shape (narrow W for test speed)
+    (5, 64, 63, 0, 16),    # feat/vis-style head, no dir input
+])
+def test_fused_forward_matches_flax(D, W, in_xyz, in_dir, out_ch):
+    mod, params, x = _setup(D, W, in_xyz, in_dir, out_ch)
+    ref = mod.apply({"params": params}, x)
+    got = FM.nerf_mlp_pallas(params, x, D=D, in_xyz=in_xyz, in_dir=in_dir,
+                             raw_feat=False, block_n=32)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_fused_forward_leading_dims():
+    D, W, in_xyz, in_dir, out_ch = 5, 64, 63, 0, 8
+    mod, params, x = _setup(D, W, in_xyz, in_dir, out_ch, n=60)
+    x3 = x.reshape(5, 12, -1)
+    ref = mod.apply({"params": params}, x3)
+    got = FM.nerf_mlp_pallas(params, x3, D=D, in_xyz=in_xyz, in_dir=in_dir,
+                             raw_feat=False, block_n=16)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_fused_gradients_match_flax():
+    """fp32 compute dtype: the custom VJP must match autodiff exactly
+    (~1e-6). bf16 (the training configuration) only loosely — its error
+    is MXU accumulation noise, not a VJP bug (verified by the fp32 run)."""
+    D, W, in_xyz, in_dir, out_ch = 8, 64, 63, 27, 3
+    mod, params, x = _setup(D, W, in_xyz, in_dir, out_ch, n=64)
+
+    def loss_ref(params, x):
+        out = mod.apply({"params": params}, x)
+        return (out ** 2).sum()
+
+    def loss_fused(params, x, cdt):
+        out = FM.nerf_mlp_pallas(params, x, D=D, in_xyz=in_xyz, in_dir=in_dir,
+                                 raw_feat=False, block_n=32, compute_dtype=cdt)
+        return (out ** 2).sum()
+
+    gr_p, gr_x = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    gf_p, gf_x = jax.grad(loss_fused, argnums=(0, 1))(params, x, jnp.float32)
+
+    np.testing.assert_allclose(np.asarray(gf_x), np.asarray(gr_x), atol=1e-5)
+    flat_r = jax.tree_util.tree_leaves_with_path(gr_p)
+    gf_p_flat = {jax.tree_util.keystr(k): v
+                 for k, v in jax.tree_util.tree_leaves_with_path(gf_p)}
+    for k, vr in flat_r:
+        vf = gf_p_flat[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(np.asarray(vf), np.asarray(vr), atol=1e-4,
+                                   err_msg=jax.tree_util.keystr(k))
+
+    # bf16 run: same direction, bf16-scale deviation
+    gb_p, gb_x = jax.grad(loss_fused, argnums=(0, 1))(params, x, jnp.bfloat16)
+    denom = float(np.abs(np.asarray(gr_x)).max())
+    assert float(np.abs(np.asarray(gb_x) - np.asarray(gr_x)).max()) / denom < 0.3
+
+
+def test_fused_sigma_only_and_raw_feat():
+    D, W, in_xyz, in_dir, out_ch = 5, 64, 63, 0, 16
+    mod_raw = NeRFMLP(D=D, W=W, in_channels_xyz=in_xyz, in_channels_dir=in_dir,
+                      out_channels=out_ch, raw_feat=True)
+    key = jax.random.key(3)
+    x = jax.random.normal(jax.random.key(4), (40, in_xyz))
+    params = mod_raw.init(key, x)["params"]
+    ref_raw = mod_raw.apply({"params": params}, x)
+    got_raw = FM.nerf_mlp_pallas(params, x, D=D, in_xyz=in_xyz, in_dir=in_dir,
+                                 raw_feat=True, block_n=8)
+    np.testing.assert_allclose(np.asarray(got_raw), np.asarray(ref_raw),
+                               atol=3e-2, rtol=3e-2)
+    ref_sig = mod_raw.apply({"params": params}, x, sigma_only=True)
+    got_sig = FM.nerf_mlp_pallas(params, x, D=D, in_xyz=in_xyz, in_dir=in_dir,
+                                 raw_feat=True, sigma_only=True, block_n=8)
+    np.testing.assert_allclose(np.asarray(got_sig), np.asarray(ref_sig),
+                               atol=3e-2, rtol=3e-2)

@@ -18,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import __graft_entry__ as GE  # noqa: E402
 
 
+@pytest.mark.slow
 def test_entry_jits_and_runs():
     fn, args = GE.entry()
     out = jax.jit(fn)(*args)

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -78,6 +79,7 @@ def test_render_shapes_and_finiteness(rng):
         assert np.isfinite(np.asarray(v)).all(), k
 
 
+@pytest.mark.slow
 def test_total_loss_and_grads(rng):
     cfg, model, params, mvars = tiny_setup(use_corr=True, eikonal_wt=0.001)
     batch = tiny_batch(rng, cfg)
@@ -111,6 +113,7 @@ def test_total_loss_and_grads(rng):
         assert sum(leaf_norms) > 0, f"no gradient reaching {comp}"
 
 
+@pytest.mark.slow
 def test_render_eval_image(rng):
     cfg, model, params, mvars = tiny_setup()
     batch = tiny_batch(rng, cfg, n_pairs=1)

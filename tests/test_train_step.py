@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -256,6 +257,7 @@ def test_train_step_ft_cse_distill_only_phase(rng):
     assert float(aux["csenet_g"]) > 0.0
 
 
+@pytest.mark.slow
 def test_sparse_batch_matches_dense_observations(rng):
     """Host-subsampled batches (sparsify_batch) must produce rays whose
     observations equal a manual gather of the dense batch at pix_ids."""

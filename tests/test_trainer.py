@@ -122,6 +122,7 @@ def test_trainer_synthetic_end_to_end(tmp_path):
     assert np.mean(img[n:]) < 2.0 * np.mean(img[:n]) + 1e-3
 
 
+@pytest.mark.slow
 def test_eval_renders_uses_dataset_kaug(tmp_path):
     """eval_renders must take kaug from the render_size eval dataset (real
     crop params, off-center principal point) — not the centered heuristic
@@ -153,6 +154,7 @@ def test_eval_renders_uses_dataset_kaug(tmp_path):
     assert grid.shape[1] % (4 * rs) == 0
 
 
+@pytest.mark.slow
 def test_preset_rootmlp_writes_base_quats(tmp_path):
     """warmup_rootmlp preset (train_utils.py:662-666): base quats come from
     the installed cameras. Regression: np.asarray of a jax array is a
@@ -184,6 +186,7 @@ def test_fetch_outputs_packed_roundtrip():
     np.testing.assert_allclose(h2["fe"], [0.1, 0.2, 0.0], atol=1e-7)
 
 
+@pytest.mark.slow
 def test_rt_raw_keeps_prior_cameras(tmp_path):
     """Regression: the composed (prior ∘ delta) pose must go to rtk only;
     rt_raw is the raw prior that use_cam feeds back as base_rt — writing

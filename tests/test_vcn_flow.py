@@ -66,6 +66,7 @@ def ref_model_and_sd():
     return model, {k: v.numpy() for k, v in sd.items()}
 
 
+@pytest.mark.slow
 def test_vcn_forward_conformance(ref_model_and_sd):
     model, sd = ref_model_and_sd
     rng = np.random.RandomState(1)
@@ -95,6 +96,7 @@ def test_vcn_forward_conformance(ref_model_and_sd):
                                err_msg="occ mismatch vs reference VCN+")
 
 
+@pytest.mark.slow
 def test_vcn_predictor_interface(ref_model_and_sd):
     _, sd = ref_model_and_sd
     params = convert_vcn_checkpoint(sd)

@@ -76,6 +76,7 @@ def test_bones_to_mesh_and_turntable():
     assert (frames[0] < 0.99).any()
 
 
+@pytest.mark.slow
 def test_cse_distillation_learns():
     """CSENet distills toward target features on a fixed batch."""
     import jax.numpy as jnp
