@@ -2,32 +2,36 @@
 
 Why: the training step is HBM-bandwidth-bound. XLA evaluates the 8x256
 trunk layer-by-layer, so every activation tensor ([R*S, 256] fp32 =
-268 MB at the recipe's 2048x128 ray bundle) round-trips through HBM
-once per layer forward and twice backward (~70% of step time at
-round-2's 74 ms/step, profile in DESIGN.md §8). This kernel keeps the
-whole stack's activations in VMEM: per grid step it loads one block of
-embedded inputs, runs every layer on the MXU in bf16 (fp32 accumulation),
+268 MB at the recipe's 2048x128 ray bundle) round-trips through HBM once
+per layer forward and twice backward; assembling the trunk input
+(concat of embedded xyz with per-ray codes broadcast over samples) costs
+another ~160 MB materialization plus layout copies. This kernel keeps
+the whole stack in VMEM: per grid step it loads one block of embedded
+points and the block's per-ray codes, broadcasts codes across samples
+in-register, runs every layer on the MXU in bf16 (fp32 accumulation),
 and writes only the final [block, out+1] result. The backward kernel
-rematerializes activations in VMEM (flash-attention-style) and
-accumulates weight grads in VMEM across the sequential TPU grid.
+rematerializes activations in VMEM (flash-attention-style), reduces
+per-ray code grads over samples, and accumulates weight grads in VMEM
+across the (sequential) TPU grid.
 
 Architecture mirrored (nets.NeRFMLP == reference nnutils/nerf.py:83-198):
-  h = x[:, :in_xyz]
-  for i in range(D):  h = relu(W_i @ (concat(x_xyz, h) if i in skips else h))
+  t   = concat(x_e, code_trunk per-ray)          # trunk input
+  h = t;  for i in range(D): h = relu(W_i @ (concat(t, h) if i in skips else h))
   sigma = W_sigma @ h
-  h_final = W_final @ h
-  hd = relu(W_dir @ concat(h_final, x[:, in_xyz:in_xyz+in_dir]))
-  out = concat(W_out @ hd, sigma)          # [N, out_ch+1]
+  hd  = relu(W_dir @ concat(W_final @ h, code_dir per-ray))
+  out = concat(W_out @ hd, sigma)                # [N, out_ch+1]
 
-The caller applies the raw_feat/sigmoid semantics (nets.py:60-73).
+The caller applies raw_feat/sigmoid semantics (nets.py:60-73).
 
 Weights stay fp32 in HBM (the optimizer's master copy); the kernel casts
 to bf16 at matmul inputs only. Gradients are fp32 end-to-end.
+need_dx=False skips the input-gradient computation for call sites whose
+inputs are stop-gradiented (the visibility loss, pipeline.py:441-457).
 """
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,13 +46,8 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _arch_fields(D: int, skips: Tuple[int, ...]):
-    """Ordered weight-tensor names for the stack."""
-    names = []
-    for i in range(D):
-        names.append(f"xyz_{i+1}")
-    names += ["sigma", "xyz_final", "dir", "rgb"]
-    return names
+def _layer_names(D: int):
+    return [f"xyz_{i+1}" for i in range(D)] + ["sigma", "xyz_final", "dir", "rgb"]
 
 
 def flatten_params(p: dict, D: int) -> Tuple[jnp.ndarray, ...]:
@@ -56,7 +55,7 @@ def flatten_params(p: dict, D: int) -> Tuple[jnp.ndarray, ...]:
 
     Biases are reshaped to [1, W]: TPU VMEM tiling wants >=2D operands."""
     out = []
-    for n in _arch_fields(D, ()):
+    for n in _layer_names(D):
         out.append(p[n]["kernel"])
         out.append(p[n]["bias"].reshape(1, -1))
     return tuple(out)
@@ -69,33 +68,62 @@ def _mm(a, b, cdt):
         preferred_element_type=jnp.float32)
 
 
-def _forward_block(x, ws, arch, cdt, want_acts=False):
-    """Run the whole stack on one [BN, C] block; weights as flat list.
+class Arch:
+    """Static kernel configuration (hashable; nondiff arg of fused_mlp)."""
 
-    Returns (out [BN, out+1], acts) where acts = per-layer inputs needed
-    by the backward pass (None unless want_acts).
-    """
-    D, in_xyz, in_dir, skips = arch
-    xin = x[:, :in_xyz]
+    def __init__(self, D, in_x, ct, cd, skips, S, need_dx=True):
+        self.D = D            # trunk depth
+        self.in_x = in_x      # per-point input width (embedded xyz [+extras])
+        self.ct = ct          # per-ray trunk code width (0 = none)
+        self.cd = cd          # per-ray dir-branch code width (0 = none)
+        self.skips = tuple(skips)
+        self.S = S            # samples per ray (1 = per-point inputs)
+        self.need_dx = need_dx
+
+    def key(self):
+        return (self.D, self.in_x, self.ct, self.cd, self.skips, self.S,
+                self.need_dx)
+
+    def __hash__(self):
+        return hash(self.key())
+
+    def __eq__(self, o):
+        return isinstance(o, Arch) and self.key() == o.key()
+
+
+def _bcast_code(code, BR, S, c):
+    return jnp.broadcast_to(code[:, None, :], (BR, S, c)).reshape(BR * S, c)
+
+
+def _forward_block(x, ct_code, cd_code, ws, arch: Arch, cdt, want_acts=False):
+    """One [BN, in_x] block through the whole stack. ct_code/cd_code are
+    the block's per-ray codes ([BR, ct]/[BR, cd]) or None."""
+    D, skips = arch.D, arch.skips
+    BN = x.shape[0]
+    BR = BN // arch.S
+    if ct_code is not None:
+        t = jnp.concatenate([x, _bcast_code(ct_code, BR, arch.S, arch.ct)], -1)
+    else:
+        t = x
     acts = []
-    h = xin
+    h = t
     for i in range(D):
         if i in skips:
-            h = jnp.concatenate([xin, h], -1)
+            h = jnp.concatenate([t, h], -1)
         if want_acts:
             acts.append(h)
-        k, b = ws[2 * i], ws[2 * i + 1]
-        h = jnp.maximum(_mm(h, k, cdt) + b, 0.0)
+        h = jnp.maximum(_mm(h, ws[2 * i], cdt) + ws[2 * i + 1], 0.0)
     if want_acts:
-        acts.append(h)  # input to sigma / xyz_final
+        acts.append(h)  # trunk output
     ksig, bsig = ws[2 * D], ws[2 * D + 1]
     kfin, bfin = ws[2 * D + 2], ws[2 * D + 3]
     kdir, bdir = ws[2 * D + 4], ws[2 * D + 5]
     kout, bout = ws[2 * D + 6], ws[2 * D + 7]
     sigma = _mm(h, ksig, cdt) + bsig
     h_final = _mm(h, kfin, cdt) + bfin
-    if in_dir > 0:
-        hd_in = jnp.concatenate([h_final, x[:, in_xyz:in_xyz + in_dir]], -1)
+    if cd_code is not None:
+        hd_in = jnp.concatenate(
+            [h_final, _bcast_code(cd_code, BR, arch.S, arch.cd)], -1)
     else:
         hd_in = h_final
     if want_acts:
@@ -107,38 +135,56 @@ def _forward_block(x, ws, arch, cdt, want_acts=False):
     return out, (acts if want_acts else None)
 
 
-def _fwd_kernel(arch, cdt, x_ref, *refs):
-    o_ref = refs[-1]
-    ws = [r[:] for r in refs[:-1]]
-    out, _ = _forward_block(x_ref[:], ws, arch, cdt)
-    o_ref[:] = out
+def _fwd_kernel(arch: Arch, cdt, *refs):
+    i = 0
+    x = refs[i][:]; i += 1
+    ct_code = cd_code = None
+    if arch.ct:
+        ct_code = refs[i][:].reshape(-1, arch.ct); i += 1
+    if arch.cd:
+        cd_code = refs[i][:].reshape(-1, arch.cd); i += 1
+    ws = [r[:] for r in refs[i:-1]]
+    out, _ = _forward_block(x, ct_code, cd_code, ws, arch, cdt)
+    refs[-1][:] = out
 
 
-def _bwd_kernel(arch, cdt, nw, x_ref, g_ref, *refs):
-    """refs = (w_refs..., dx_ref, dw_refs...). Weight-grad outputs use a
-    constant index map, so the same VMEM block persists across the
-    (sequential) TPU grid — init at step 0, accumulate afterwards."""
-    D, in_xyz, in_dir, skips = arch
-    w_refs = refs[:nw]
-    dx_ref = refs[nw]
-    dw_refs = refs[nw + 1:]
-    ws = [r[:] for r in w_refs]
-    x = x_ref[:]
-    g = g_ref[:]
+def _bwd_kernel(arch: Arch, cdt, nw, *refs):
+    """inputs: x, [ct], [cd], g, w*  outputs: [dx], [dct], [dcd], dw*"""
+    D, skips = arch.D, arch.skips
+    i = 0
+    x = refs[i][:]; i += 1
+    ct_code = cd_code = None
+    if arch.ct:
+        ct_code = refs[i][:].reshape(-1, arch.ct); i += 1
+    if arch.cd:
+        cd_code = refs[i][:].reshape(-1, arch.cd); i += 1
+    g = refs[i][:]; i += 1
+    ws = [r[:] for r in refs[i:i + nw]]
+    i += nw
+    outs = refs[i:]
+    oi = 0
+    dx_ref = dct_ref = dcd_ref = None
+    if arch.need_dx:
+        dx_ref = outs[oi]; oi += 1
+    if arch.ct:
+        dct_ref = outs[oi]; oi += 1
+    if arch.cd:
+        dcd_ref = outs[oi]; oi += 1
+    dw_refs = outs[oi:]
 
-    _, acts = _forward_block(x, ws, arch, cdt, want_acts=True)
-    # acts: [layer inputs 0..D-1, h_trunk, hd_in, hd]
-    h_trunk = acts[D]
-    hd_in = acts[D + 1]
-    hd = acts[D + 2]
-
-    out_ch = g.shape[1] - ws[2 * D].shape[1]  # g = [d_out | d_sigma]
+    _, acts = _forward_block(x, ct_code, cd_code, ws, arch, cdt,
+                             want_acts=True)
+    h_trunk, hd_in, hd = acts[D], acts[D + 1], acts[D + 2]
+    out_ch = g.shape[1] - 1
     d_out = g[:, :out_ch]
     d_sigma = g[:, out_ch:]
+    tin = arch.in_x + arch.ct  # trunk input width
+    BN = x.shape[0]
+    BR = BN // arch.S
 
     dws = [None] * len(ws)
 
-    def mmT_nt(a, b):  # a.T @ b -> [K, N] grads for kernels
+    def mmT_nt(a, b):  # a.T @ b
         return jax.lax.dot_general(
             a.astype(cdt), b.astype(cdt),
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -150,56 +196,45 @@ def _bwd_kernel(arch, cdt, nw, x_ref, g_ref, *refs):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    # rgb head
     dws[2 * D + 6] = mmT_nt(hd, d_out)
     dws[2 * D + 7] = d_out.sum(0, keepdims=True)
-    d_hd = mm_nt(d_out, ws[2 * D + 6])
-    d_hd = jnp.where(hd > 0.0, d_hd, 0.0)
-    # dir layer
+    d_hd = jnp.where(hd > 0.0, mm_nt(d_out, ws[2 * D + 6]), 0.0)
     dws[2 * D + 4] = mmT_nt(hd_in, d_hd)
     dws[2 * D + 5] = d_hd.sum(0, keepdims=True)
     d_hd_in = mm_nt(d_hd, ws[2 * D + 4])
-    W_fin_out = ws[2 * D + 2].shape[1]
-    d_h_final = d_hd_in[:, :W_fin_out]
-    d_x_dir = d_hd_in[:, W_fin_out:]
-    # xyz_final
+    W_fin = ws[2 * D + 2].shape[1]
+    d_h_final = d_hd_in[:, :W_fin]
+    if dcd_ref is not None:
+        dcd_ref[:] = d_hd_in[:, W_fin:].reshape(
+            BR, arch.S, arch.cd).sum(1, keepdims=True)
     dws[2 * D + 2] = mmT_nt(h_trunk, d_h_final)
     dws[2 * D + 3] = d_h_final.sum(0, keepdims=True)
-    # sigma head
     dws[2 * D] = mmT_nt(h_trunk, d_sigma)
     dws[2 * D + 1] = d_sigma.sum(0, keepdims=True)
     d_h = mm_nt(d_h_final, ws[2 * D + 2]) + mm_nt(d_sigma, ws[2 * D])
 
-    d_xin = jnp.zeros((x.shape[0], in_xyz), jnp.float32)
-    for i in range(D - 1, -1, -1):
-        # d_h is grad wrt relu output of layer i; acts[i] is its input
-        h_out = acts[i + 1] if i + 1 <= D else None
-        # relu mask: output of layer i is acts[i+1] for i < D-1... careful:
-        # acts[i+1] for i<D is the *input of layer i+1*, which equals the
-        # relu output of layer i unless i+1 in skips (then it's a concat).
-        # Recompute the mask from the pre-skip part instead:
-        if (i + 1) in skips and i + 1 < D:
-            relu_out = acts[i + 1][:, in_xyz:]
-        else:
-            relu_out = acts[i + 1] if i < D else None
+    d_t = jnp.zeros((BN, tin), jnp.float32)
+    for i2 in range(D - 1, -1, -1):
+        # relu output of layer i2 = acts[i2+1] (minus the skip re-concat)
+        relu_out = acts[i2 + 1]
+        if (i2 + 1) in skips and i2 + 1 < D:
+            relu_out = relu_out[:, tin:]
         d_h = jnp.where(relu_out > 0.0, d_h, 0.0)
-        dws[2 * i] = mmT_nt(acts[i], d_h)
-        dws[2 * i + 1] = d_h.sum(0, keepdims=True)
-        d_in = mm_nt(d_h, ws[2 * i])
-        if i in skips:
-            d_xin = d_xin + d_in[:, :in_xyz]
-            d_h = d_in[:, in_xyz:]
+        dws[2 * i2] = mmT_nt(acts[i2], d_h)
+        dws[2 * i2 + 1] = d_h.sum(0, keepdims=True)
+        d_in = mm_nt(d_h, ws[2 * i2])
+        if i2 in skips:
+            d_t = d_t + d_in[:, :tin]
+            d_h = d_in[:, tin:]
         else:
             d_h = d_in
-    d_xin = d_xin + d_h
+    d_t = d_t + d_h
 
-    parts = [d_xin]
-    if in_dir > 0:
-        parts.append(d_x_dir)
-    extra = x.shape[1] - in_xyz - in_dir
-    if extra > 0:
-        parts.append(jnp.zeros((x.shape[0], extra), jnp.float32))
-    dx_ref[:] = jnp.concatenate(parts, -1) if len(parts) > 1 else parts[0]
+    if dx_ref is not None:
+        dx_ref[:] = d_t[:, :arch.in_x]
+    if dct_ref is not None:
+        dct_ref[:] = d_t[:, arch.in_x:].reshape(
+            BR, arch.S, arch.ct).sum(1, keepdims=True)
 
     first = pl.program_id(0) == 0
     for r, dw in zip(dw_refs, dws):
@@ -222,63 +257,125 @@ def _pad_rows(x, bn):
     return x, n
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def fused_mlp(x, weights, arch, block_n, block_bwd, cdt):
-    out, _ = _fused_mlp_fwd(x, weights, arch, block_n, block_bwd, cdt)
+def _w_specs(weights):
+    return [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM) for w in weights]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_mlp(x, ct_code, cd_code, weights, arch, block_rays, block_rays_bwd,
+              cdt):
+    out, _ = _fused_mlp_fwd(x, ct_code, cd_code, weights, arch, block_rays,
+                            block_rays_bwd, cdt)
     return out
 
 
-def _call_fwd(x, weights, arch, block_n, cdt):
-    xp, n = _pad_rows(x, block_n)
+def _call_fwd(x, ct_code, cd_code, weights, arch: Arch, BR, cdt):
+    S = arch.S
+    xp, n = _pad_rows(x, BR * S)
     N = xp.shape[0]
-    out_dim = weights[-2].shape[1] + 1  # rgb out + sigma
-    grid = (N // block_n,)
-    w_specs = [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
-                            memory_space=pltpu.VMEM) for w in weights]
+    out_dim = weights[-2].shape[1] + 1
+    grid = (N // (BR * S),)
+    in_specs = [pl.BlockSpec((BR * S, x.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [xp]
+    # per-ray codes travel as [R, 1, c]: TPU block tiling constrains only
+    # the LAST TWO dims, so (BR, 1, c) blocks keep the ray dim free
+    if arch.ct:
+        c, _ = _pad_rows(ct_code, BR)
+        in_specs.append(pl.BlockSpec((BR, 1, arch.ct), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(c.reshape(-1, 1, arch.ct))
+    if arch.cd:
+        c, _ = _pad_rows(cd_code, BR)
+        in_specs.append(pl.BlockSpec((BR, 1, arch.cd), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(c.reshape(-1, 1, arch.cd))
+    in_specs += _w_specs(weights)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, arch, cdt),
         out_shape=jax.ShapeDtypeStruct((N, out_dim), jnp.float32),
         grid=grid,
-        in_specs=[pl.BlockSpec((block_n, x.shape[1]), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] + w_specs,
-        out_specs=pl.BlockSpec((block_n, out_dim), lambda i: (i, 0),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BR * S, out_dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(xp, *weights)
+    )(*args, *weights)
     return out[:n]
 
 
-def _fused_mlp_fwd(x, weights, arch, block_n, block_bwd, cdt):
-    out = _call_fwd(x, weights, arch, block_n, cdt)
-    return out, (x, weights)
+def _fused_mlp_fwd(x, ct_code, cd_code, weights, arch, block_rays,
+                   block_rays_bwd, cdt):
+    out = _call_fwd(x, ct_code, cd_code, weights, arch, block_rays, cdt)
+    return out, (x, ct_code, cd_code, weights)
 
 
-def _fused_mlp_bwd(arch, block_n, block_bwd, cdt, res, g):
-    block_n = block_bwd
-    x, weights = res
-    xp, n = _pad_rows(x, block_n)
-    gp, _ = _pad_rows(g, block_n)
+def _fused_mlp_bwd(arch: Arch, block_rays, block_rays_bwd, cdt, res, g):
+    x, ct_code, cd_code, weights = res
+    BR = block_rays_bwd
+    S = arch.S
+    xp, n = _pad_rows(x, BR * S)
+    gp, _ = _pad_rows(g, BR * S)
     N = xp.shape[0]
+    R = N // S
     nw = len(weights)
-    grid = (N // block_n,)
-    w_specs = [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
-                            memory_space=pltpu.VMEM) for w in weights]
-    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
-    dw_specs = [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
-                             memory_space=pltpu.VMEM) for w in weights]
-    dx, *dws = pl.pallas_call(
+    grid = (N // (BR * S),)
+
+    in_specs = [pl.BlockSpec((BR * S, x.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [xp]
+    if arch.ct:
+        c, _ = _pad_rows(ct_code, BR)
+        in_specs.append(pl.BlockSpec((BR, 1, arch.ct), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(c.reshape(-1, 1, arch.ct))
+    if arch.cd:
+        c, _ = _pad_rows(cd_code, BR)
+        in_specs.append(pl.BlockSpec((BR, 1, arch.cd), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(c.reshape(-1, 1, arch.cd))
+    in_specs.append(pl.BlockSpec((BR * S, g.shape[1]), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(gp)
+    in_specs += _w_specs(weights)
+
+    out_shapes, out_specs = [], []
+    if arch.need_dx:
+        out_shapes.append(jax.ShapeDtypeStruct((N, x.shape[1]), jnp.float32))
+        out_specs.append(pl.BlockSpec((BR * S, x.shape[1]), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    if arch.ct:
+        out_shapes.append(jax.ShapeDtypeStruct((R, 1, arch.ct), jnp.float32))
+        out_specs.append(pl.BlockSpec((BR, 1, arch.ct), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    if arch.cd:
+        out_shapes.append(jax.ShapeDtypeStruct((R, 1, arch.cd), jnp.float32))
+        out_specs.append(pl.BlockSpec((BR, 1, arch.cd), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    out_shapes += [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
+    out_specs += _w_specs(weights)
+
+    outs = pl.pallas_call(
         functools.partial(_bwd_kernel, arch, cdt, nw),
-        out_shape=[jax.ShapeDtypeStruct((N, x.shape[1]), jnp.float32)] + dw_shapes,
+        out_shape=out_shapes,
         grid=grid,
-        in_specs=[pl.BlockSpec((block_n, x.shape[1]), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((block_n, g.shape[1]), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] + w_specs,
-        out_specs=[pl.BlockSpec((block_n, x.shape[1]), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)] + dw_specs,
+        in_specs=in_specs,
+        out_specs=out_specs,
         interpret=_interpret(),
-    )(xp, gp, *weights)
-    return dx[:n], tuple(dws)
+    )(*args, *weights)
+
+    oi = 0
+    if arch.need_dx:
+        dx = outs[oi][:n]; oi += 1
+    else:
+        dx = jnp.zeros_like(x)
+    dct = dcd = None
+    if arch.ct:
+        dct = outs[oi].reshape(-1, arch.ct)[:ct_code.shape[0]]; oi += 1
+    if arch.cd:
+        dcd = outs[oi].reshape(-1, arch.cd)[:cd_code.shape[0]]; oi += 1
+    dws = tuple(outs[oi:])
+    return dx, dct, dcd, dws
 
 
 fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
@@ -287,23 +384,50 @@ fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 def nerf_mlp_pallas(params: dict, x: jnp.ndarray, *, D: int, in_xyz: int,
                     in_dir: int, skips: Sequence[int] = (4,),
                     raw_feat: bool, sigma_only: bool = False,
-                    block_n: int = 2048, block_bwd: int = 512,
+                    code_trunk: Optional[jnp.ndarray] = None,
+                    code_dir: Optional[jnp.ndarray] = None,
+                    samples_per_ray: int = 1,
+                    need_dx: bool = True,
+                    block_points: int = 2048, block_points_bwd: int = 512,
                     compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Drop-in for nets.NeRFMLP.apply on TPU (training hot path).
 
-    params: the flax param dict of one NeRFMLP. x: [..., C]. Matches
-    NeRFMLP.__call__ semantics (nets.py:50-73): raw_feat returns the raw
-    rgb branch; otherwise sigmoid(rgb)|sigma concat; sigma_only returns
-    just sigma.
+    params: the flax param dict of one NeRFMLP. x: [..., C] per-point
+    inputs (embedded xyz; may also carry the concatenated codes exactly
+    like the flax call — they are split out below). code_trunk [R, ct]:
+    per-ray features appended to the trunk input inside the kernel
+    (in_channels_xyz of the flax module = x width + ct). code_dir
+    [R, cd]: per-ray dir-branch features (in_channels_dir = cd).
+    samples_per_ray: S such that x rows = R*S in ray-major order.
+    Matches NeRFMLP.__call__ semantics (nets.py:50-73).
     """
     weights = flatten_params(params, D)
     lead = x.shape[:-1]
     n = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(n, x.shape[-1])
-    arch = (D, in_xyz, in_dir, tuple(skips))
-    bn = min(block_n, max(256, 1 << (n - 1).bit_length()))
-    bb = min(block_bwd, bn)
-    out = fused_mlp(x2, weights, arch, bn, bb, compute_dtype)
+    S = samples_per_ray
+    ct = code_trunk.shape[-1] if code_trunk is not None else 0
+    cd = code_dir.shape[-1] if code_dir is not None else 0
+    if code_trunk is not None:
+        code_trunk = code_trunk.reshape(-1, ct)
+    if code_dir is not None:
+        code_dir = code_dir.reshape(-1, cd)
+    if code_dir is None and in_dir > 0:
+        # legacy layout: dir columns concatenated into x (per point)
+        assert ct == 0 and S == 1, "per-point dir input needs S=1"
+        code_dir = x2[:, in_xyz:in_xyz + in_dir]
+        x2 = x2[:, :in_xyz]
+        cd = in_dir
+    assert x2.shape[-1] + ct == in_xyz, \
+        f"x width {x2.shape[-1]} + code_trunk {ct} != in_channels_xyz {in_xyz}"
+    assert cd == in_dir, f"code_dir width {cd} != in_channels_dir {in_dir}"
+    arch = Arch(D, x2.shape[-1], ct, cd, tuple(skips), S, need_dx=need_dx)
+    npts = max(n, 1)
+    bp = min(block_points, max(S, 256, 1 << (npts - 1).bit_length()))
+    BR = max(1, bp // S)
+    BRb = max(1, min(block_points_bwd, bp) // S)
+    out = fused_mlp(x2, code_trunk, code_dir, weights, arch, BR, BRb,
+                    compute_dtype)
     out_ch = weights[-2].shape[1]
     if sigma_only:
         return out[:, out_ch:].reshape(lead + (1,))

@@ -79,15 +79,13 @@ def _backward_warp(model, params, rays, xyz, time_embedded, alpha, use_dskin=Fal
     dskin = None
     if cfg.nerf_skin and use_dskin:
         xyz_e = model.embed_xyz(xyz, alpha)
-        code = jnp.broadcast_to(time_embedded[:, None, :], xyz.shape[:-1] + (time_embedded.shape[-1],))
-        dskin = model.apply_skin(params, jnp.concatenate([xyz_e, code], -1))
+        dskin = model.apply_skin(params, xyz_e, code_trunk=time_embedded)
     skin_bw = SK.skinning_weights(bones_dfm, xyz, dskin, skin_aux[0])
 
     dis = None
     if cfg.nerf_dis:
         xyz_e = model.embed_xyz(xyz, alpha)
-        code = jnp.broadcast_to(time_embedded[:, None, :], xyz.shape[:-1] + (time_embedded.shape[-1],))
-        dis = model.apply_dis(params, jnp.concatenate([xyz_e, code], -1))
+        dis = model.apply_dis(params, xyz_e, code_trunk=time_embedded)
 
     if cfg.neudbs:
         xyz_c, _ = SK.neu_dbs(bones_rst, bone_rts_fw, skin_bw, xyz, dis=dis, backward=True)
@@ -104,15 +102,13 @@ def _forward_warp(model, params, rays, xyz_c, bone_rts, rest_code, alpha, use_ds
     dskin = None
     if cfg.nerf_skin and use_dskin:
         xyz_e = model.embed_xyz(xyz_c, alpha)
-        code = jnp.broadcast_to(rest_code[:, None, :], xyz_c.shape[:-1] + (rest_code.shape[-1],))
-        dskin = model.apply_skin(params, jnp.concatenate([xyz_e, code], -1))
-    skin_fw = SK.skinning_weights(bones_rst, xyz_c, dskin, skin_aux[0])
+        dskin = model.apply_skin(params, xyz_e, code_trunk=rest_code)
 
     dis = None
     if cfg.nerf_dis:
         xyz_e = model.embed_xyz(xyz_c, alpha)
-        code = jnp.broadcast_to(rest_code[:, None, :], xyz_c.shape[:-1] + (rest_code.shape[-1],))
-        dis = model.apply_dis(params, jnp.concatenate([xyz_e, code], -1))
+        dis = model.apply_dis(params, xyz_e, code_trunk=rest_code)
+    skin_fw = SK.skinning_weights(bones_rst, xyz_c, dskin, skin_aux[0])
 
     if cfg.neudbs:
         xyz_f, _ = SK.neu_dbs(bones_rst, bone_rts, skin_fw, xyz_c, dis=dis, backward=False)
@@ -138,15 +134,16 @@ def _inference(model, params, rays, xyz, dir_, dir_embedded, z_vals, key, noise_
     R, S = xyz.shape[0], xyz.shape[1]
     alpha = rays.get("embed_alpha", None)
     xyz_e = model.embed_xyz(xyz, alpha)
-    dir_e = jnp.broadcast_to(dir_embedded[:, None, :], (R, S, dir_embedded.shape[-1]))
-    feats_in = [xyz_e, dir_e]
+    # per-ray dir-branch codes stay [R, cd]; broadcast over samples happens
+    # inside the fused kernel (or in the flax fallback) — HBM never holds
+    # the widened [R, S, 63+cd] trunk input
+    code_dir_parts = [dir_embedded]
     if "env_code" in rays:
-        feats_in.append(jnp.broadcast_to(rays["env_code"][:, None, :], (R, S, rays["env_code"].shape[-1])))
+        code_dir_parts.append(rays["env_code"])
     if "appearance_code" in rays:
-        feats_in.append(
-            jnp.broadcast_to(rays["appearance_code"][:, None, :], (R, S, rays["appearance_code"].shape[-1]))
-        )
-    out = model.apply_coarse(params, jnp.concatenate(feats_in, -1))
+        code_dir_parts.append(rays["appearance_code"])
+    out = model.apply_coarse(params, xyz_e,
+                             code_dir=jnp.concatenate(code_dir_parts, -1))
     rgbs = out[..., :3]
     sigmas_raw = out[..., 3]
 
@@ -208,22 +205,39 @@ def feat_match(model, params, feats, bound, grid_size, key, use_ot, is_training,
     cost = feats @ vol_feat.T  # [R, G^3] — MXU matmul
     if use_ot:
         # entropic OT with uniform marginals, 20 sinkhorn iterations
-        # (loss_utils.py:344-381). Plain fp32 matvecs: XLA compiles this
-        # loop extremely well on TPU (measured 0.02 ms fwd at 2048x8000);
-        # bf16 casts were measured 50x slower (conversion/layout churn).
+        # (loss_utils.py:344-381). The loop is HBM-bound on re-reading the
+        # [R, G^3] kernel matrix 2x/iteration; under cfg.use_pallas
+        # (training) K is cast to bf16 ONCE outside the loop so every
+        # matvec reads half the bytes (measured 9.2 -> 6.7 ms fwd+bwd,
+        # 4e-6 max diff on the transport plan). Casting inside the loop
+        # instead was 50x slower in round 2 (conversion/layout churn).
+        # The precise (eval) path stays fp32.
         K = jnp.exp(-(1.0 - cost) / 0.03)
         n, m = K.shape
         prob1 = 1.0 / n
         prob2 = 1.0 / m
-        a = jnp.full((n, 1), 1.0 / n, K.dtype)
+        a = jnp.full((n, 1), 1.0 / n, jnp.float32)
+        if model.cfg.use_pallas:
+            Km = K.astype(jnp.bfloat16)
+            KmT = Km.T
+
+            def mv(M, v):
+                return jax.lax.dot_general(
+                    M, v.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        else:
+            Km, KmT = K, K.T
+
+            def mv(M, v):
+                return M @ v
 
         def body(_, a):
-            b = prob2 / (K.T @ a + 1e-8)
-            a = prob1 / (K @ b + 1e-8)
+            b = prob2 / (mv(KmT, a) + 1e-8)
+            a = prob1 / (mv(Km, b) + 1e-8)
             return a
 
         a = jax.lax.fori_loop(0, 20, body, a)
-        b = prob2 / (K.T @ a + 1e-8)
+        b = prob2 / (mv(KmT, a) + 1e-8)
         T_m = a * K * b.T
         prob_vol = T_m / jnp.sum(T_m, axis=1, keepdims=True)
     else:
@@ -450,9 +464,13 @@ def visibility_loss(model, params, xyz_pos, w_pos, bound, key, alpha=None):
     # 146). Dividing by R*S here double-counted R and trained the vis MLP
     # ~2000x too weakly — eval/extraction culling then removed real geometry.
     xyz_neg = jax.random.uniform(key, (R, S, 3), minval=-1.0, maxval=1.0) * bound[None, None, :]
-    vis_neg = model.apply_vis(params, model.embed_xyz(xyz_neg, alpha))[..., 0]
+    # need_dx=False: both inputs are stop-gradiented — only nerf_vis params
+    # receive gradients, so the kernel skips the input-grad pass
+    vis_neg = model.apply_vis(params, model.embed_xyz(xyz_neg, alpha),
+                              need_dx=False)[..., 0]
     vis_loss_neg = -jax.nn.log_sigmoid(-vis_neg).sum(-1) * 0.1 / S
-    vis_pos = model.apply_vis(params, model.embed_xyz(xyz_pos, alpha))[..., 0]
+    vis_pos = model.apply_vis(params, model.embed_xyz(xyz_pos, alpha),
+                              need_dx=False)[..., 0]
     vis_loss_pos = -(jax.nn.log_sigmoid(vis_pos) * w_pos).sum(-1) / S
     return vis_loss_pos + vis_loss_neg
 

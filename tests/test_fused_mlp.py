@@ -33,7 +33,7 @@ def test_fused_forward_matches_flax(D, W, in_xyz, in_dir, out_ch):
     mod, params, x = _setup(D, W, in_xyz, in_dir, out_ch)
     ref = mod.apply({"params": params}, x)
     got = FM.nerf_mlp_pallas(params, x, D=D, in_xyz=in_xyz, in_dir=in_dir,
-                             raw_feat=False, block_n=32)
+                             raw_feat=False, block_points=32, block_points_bwd=32)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=3e-2, rtol=3e-2)
@@ -45,7 +45,7 @@ def test_fused_forward_leading_dims():
     x3 = x.reshape(5, 12, -1)
     ref = mod.apply({"params": params}, x3)
     got = FM.nerf_mlp_pallas(params, x3, D=D, in_xyz=in_xyz, in_dir=in_dir,
-                             raw_feat=False, block_n=16)
+                             raw_feat=False, block_points=16, block_points_bwd=16)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=3e-2, rtol=3e-2)
@@ -64,7 +64,7 @@ def test_fused_gradients_match_flax():
 
     def loss_fused(params, x, cdt):
         out = FM.nerf_mlp_pallas(params, x, D=D, in_xyz=in_xyz, in_dir=in_dir,
-                                 raw_feat=False, block_n=32, compute_dtype=cdt)
+                                 raw_feat=False, block_points=32, block_points_bwd=32, compute_dtype=cdt)
         return (out ** 2).sum()
 
     gr_p, gr_x = jax.grad(loss_ref, argnums=(0, 1))(params, x)
@@ -94,11 +94,70 @@ def test_fused_sigma_only_and_raw_feat():
     params = mod_raw.init(key, x)["params"]
     ref_raw = mod_raw.apply({"params": params}, x)
     got_raw = FM.nerf_mlp_pallas(params, x, D=D, in_xyz=in_xyz, in_dir=in_dir,
-                                 raw_feat=True, block_n=8)
+                                 raw_feat=True, block_points=8, block_points_bwd=8)
     np.testing.assert_allclose(np.asarray(got_raw), np.asarray(ref_raw),
                                atol=3e-2, rtol=3e-2)
     ref_sig = mod_raw.apply({"params": params}, x, sigma_only=True)
     got_sig = FM.nerf_mlp_pallas(params, x, D=D, in_xyz=in_xyz, in_dir=in_dir,
-                                 raw_feat=True, sigma_only=True, block_n=8)
+                                 raw_feat=True, sigma_only=True, block_points=8, block_points_bwd=8)
     np.testing.assert_allclose(np.asarray(got_sig), np.asarray(ref_sig),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_fused_per_ray_codes_match_flax():
+    """code_trunk/code_dir per-ray inputs must equal the flax module on the
+    pre-concatenated layout (the kernel broadcasts codes in-register)."""
+    D, W, out_ch = 5, 64, 4
+    R, S, ct, cd = 6, 8, 16, 8
+    in_xyz, in_dir = 63 + ct, cd
+    mod = NeRFMLP(D=D, W=W, in_channels_xyz=in_xyz, in_channels_dir=in_dir,
+                  out_channels=out_ch, raw_feat=True)
+    key = jax.random.key(11)
+    xe = jax.random.normal(jax.random.key(12), (R, S, 63))
+    ctc = jax.random.normal(jax.random.key(13), (R, ct))
+    cdc = jax.random.normal(jax.random.key(14), (R, cd))
+    x_full = jnp.concatenate(
+        [xe, jnp.broadcast_to(ctc[:, None], (R, S, ct)),
+         jnp.broadcast_to(cdc[:, None], (R, S, cd))], -1)
+    params = mod.init(key, x_full.reshape(-1, x_full.shape[-1]))["params"]
+
+    def loss_ref(params):
+        return (mod.apply({"params": params}, x_full) ** 2).sum()
+
+    def loss_fused(params):
+        out = FM.nerf_mlp_pallas(
+            params, xe, D=D, in_xyz=in_xyz, in_dir=in_dir, raw_feat=True,
+            code_trunk=ctc, code_dir=cdc, samples_per_ray=S,
+            block_points=16, block_points_bwd=16,
+            compute_dtype=jnp.float32)
+        return (out ** 2).sum()
+
+    np.testing.assert_allclose(float(loss_fused(params)),
+                               float(loss_ref(params)), rtol=1e-5)
+    gr = jax.grad(loss_ref)(params)
+    gf = jax.grad(loss_fused)(params)
+    for k, vr in jax.tree_util.tree_leaves_with_path(gr):
+        vf = {jax.tree_util.keystr(kk): vv for kk, vv in
+              jax.tree_util.tree_leaves_with_path(gf)}[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(np.asarray(vf), np.asarray(vr), atol=2e-4,
+                                   err_msg=jax.tree_util.keystr(k))
+
+    # code gradients flow
+    def loss_codes(ctc, cdc):
+        out = FM.nerf_mlp_pallas(
+            params, xe, D=D, in_xyz=in_xyz, in_dir=in_dir, raw_feat=True,
+            code_trunk=ctc, code_dir=cdc, samples_per_ray=S,
+            block_points=16, block_points_bwd=16,
+            compute_dtype=jnp.float32)
+        return (out ** 2).sum()
+
+    def loss_codes_ref(ctc, cdc):
+        xf = jnp.concatenate(
+            [xe, jnp.broadcast_to(ctc[:, None], (R, S, ct)),
+             jnp.broadcast_to(cdc[:, None], (R, S, cd))], -1)
+        return (mod.apply({"params": params}, xf) ** 2).sum()
+
+    g1 = jax.grad(loss_codes, argnums=(0, 1))(ctc, cdc)
+    g2 = jax.grad(loss_codes_ref, argnums=(0, 1))(ctc, cdc)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-4)
