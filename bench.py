@@ -9,7 +9,8 @@ Measured per stage (scripts/template.sh; reference scripts/template.sh:7-63):
          pool, moda.py:1062) + fine importance pass + eikonal 0.1
 
 For each stage we report rays/s, ms/step, TFLOP/s and MFU, with FLOPs
-taken from the compiled program's own cost analysis (not an estimate).
+taken from XLA's cost analysis of the same program lowered with
+use_pallas=False (cost analysis cannot see inside Pallas custom calls).
 Matmul precision is pinned to the same value training uses
 (moda_tpu.runtime.setup_jax) and recorded in the output.
 
@@ -44,7 +45,7 @@ def device_peak_tflops(dev) -> float | None:
     return None
 
 
-def make_stage(name: str):
+def make_stage(name: str, use_pallas: bool | None = None):
     """Build (step_fn, args, rays_per_step) for one recipe stage shape."""
     import jax
     import jax.numpy as jnp
@@ -71,6 +72,9 @@ def make_stage(name: str):
         use_fine, ns_uniform, ns_active = True, 2, 2
     else:
         raise ValueError(name)
+    if use_pallas is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, use_pallas=use_pallas)
 
     info = DataInfo(offset=(0, num_fr), intrinsics=((500.0, 500.0, 256.0, 256.0),))
     model = MoDAModel(cfg, info)
@@ -113,10 +117,14 @@ def make_stage(name: str):
     return step, (params, opt_state, mvars, batch, extras), rays_per_step
 
 
-def compiled_flops(step, args, key) -> float | None:
-    """FLOPs/step from XLA's own cost analysis of the compiled program."""
+def stage_flops(name: str, key) -> float | None:
+    """FLOPs/step from XLA's HLO cost analysis of the SAME stage program
+    lowered with use_pallas=False: cost analysis cannot see inside a Pallas
+    custom call, so the count comes from the mathematically identical pure
+    XLA graph (lowered only — never compiled or run)."""
     try:
-        ca = step.lower(*args, key).compile().cost_analysis()
+        step, args, _ = make_stage(name, use_pallas=False)
+        ca = step.lower(*args, key).cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         return float(ca.get("flops", 0.0)) or None
@@ -129,7 +137,7 @@ def bench_stage(name: str, n_steps: int = 50, profile_dir: str | None = None):
 
     step, (params, opt_state, mvars, batch, extras), rays_per_step = make_stage(name)
     key = jax.random.key(0)
-    flops = compiled_flops(step, (params, opt_state, mvars, batch, extras), key)
+    flops = stage_flops(name, key)
 
     # warmup / compile (fetch a scalar: through the remote-TPU tunnel,
     # block_until_ready acks dispatch without waiting for execution, so
