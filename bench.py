@@ -117,14 +117,16 @@ def make_stage(name: str, use_pallas: bool | None = None):
     return step, (params, opt_state, mvars, batch, extras), rays_per_step
 
 
-def stage_flops(name: str, key) -> float | None:
+def stage_flops(name: str, key=None) -> float | None:
     """FLOPs/step from XLA's HLO cost analysis of the SAME stage program
     lowered with use_pallas=False: cost analysis cannot see inside a Pallas
     custom call, so the count comes from the mathematically identical pure
     XLA graph (lowered only — never compiled or run)."""
+    import jax
+
     try:
         step, args, _ = make_stage(name, use_pallas=False)
-        ca = step.lower(*args, key).cost_analysis()
+        ca = step.lower(*args, jax.random.key(0)).cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         return float(ca.get("flops", 0.0)) or None
@@ -132,12 +134,37 @@ def stage_flops(name: str, key) -> float | None:
         return None
 
 
-def bench_stage(name: str, n_steps: int = 50, profile_dir: str | None = None):
+def all_stage_flops() -> dict:
+    """Run stage_flops for every stage in a CPU subprocess: the remote-TPU
+    (axon) client cannot run HLO cost analysis, and the pure-XLA lowering
+    only needs tracing, which works anywhere."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import json, bench\n"
+        "print('FLOPS=' + json.dumps({s: bench.stage_flops(s)"
+        " for s in ('init','ft1','ft2')}))\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=900,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in r.stdout.splitlines():
+            if line.startswith("FLOPS="):
+                return json.loads(line[len("FLOPS="):])
+    except Exception:
+        pass
+    return {}
+
+
+def bench_stage(name: str, n_steps: int = 50, profile_dir: str | None = None,
+                flops: float | None = None):
     import jax
 
     step, (params, opt_state, mvars, batch, extras), rays_per_step = make_stage(name)
     key = jax.random.key(0)
-    flops = stage_flops(name, key)
 
     # warmup / compile (fetch a scalar: through the remote-TPU tunnel,
     # block_until_ready acks dispatch without waiting for execution, so
@@ -195,8 +222,10 @@ def main():
         "peak_tflops": device_peak_tflops(jax.devices()[0]),
     }
     prof = os.environ.get("BENCH_PROFILE_DIR")  # set to capture a trace
+    flops = all_stage_flops()
     for stage in ("init", "ft1", "ft2"):
-        detail[stage] = bench_stage(stage, profile_dir=prof if stage == "init" else None)
+        detail[stage] = bench_stage(stage, profile_dir=prof if stage == "init" else None,
+                                    flops=flops.get(stage))
 
     headline = detail["init"]["rays_per_sec"]
     print(json.dumps({

@@ -105,16 +105,20 @@ def _forward_block(x, ct_code, cd_code, ws, arch: Arch, cdt, want_acts=False):
         t = jnp.concatenate([x, _bcast_code(ct_code, BR, arch.S, arch.ct)], -1)
     else:
         t = x
+    # acts are stored in cdt (bf16): that is exactly the value the next
+    # matmul consumes (inputs are cast to cdt at every _mm), so the
+    # backward's weight-grad matmuls and relu masks see identical bits
+    # while the rematerialization buffers take half the VMEM
     acts = []
     h = t
     for i in range(D):
         if i in skips:
             h = jnp.concatenate([t, h], -1)
         if want_acts:
-            acts.append(h)
+            acts.append(h.astype(cdt))
         h = jnp.maximum(_mm(h, ws[2 * i], cdt) + ws[2 * i + 1], 0.0)
     if want_acts:
-        acts.append(h)  # trunk output
+        acts.append(h.astype(cdt))  # trunk output
     ksig, bsig = ws[2 * D], ws[2 * D + 1]
     kfin, bfin = ws[2 * D + 2], ws[2 * D + 3]
     kdir, bdir = ws[2 * D + 4], ws[2 * D + 5]
@@ -127,10 +131,10 @@ def _forward_block(x, ct_code, cd_code, ws, arch: Arch, cdt, want_acts=False):
     else:
         hd_in = h_final
     if want_acts:
-        acts.append(hd_in)
+        acts.append(hd_in.astype(cdt))
     hd = jnp.maximum(_mm(hd_in, kdir, cdt) + bdir, 0.0)
     if want_acts:
-        acts.append(hd)
+        acts.append(hd.astype(cdt))
     out = jnp.concatenate([_mm(hd, kout, cdt) + bout, sigma], -1)
     return out, (acts if want_acts else None)
 
@@ -198,7 +202,9 @@ def _bwd_kernel(arch: Arch, cdt, nw, *refs):
 
     dws[2 * D + 6] = mmT_nt(hd, d_out)
     dws[2 * D + 7] = d_out.sum(0, keepdims=True)
-    d_hd = jnp.where(hd > 0.0, mm_nt(d_out, ws[2 * D + 6]), 0.0)
+    # relu masks compare in f32 (Mosaic rejects bf16 cmpf on this target)
+    d_hd = jnp.where(hd.astype(jnp.float32) > 0.0,
+                     mm_nt(d_out, ws[2 * D + 6]), 0.0)
     dws[2 * D + 4] = mmT_nt(hd_in, d_hd)
     dws[2 * D + 5] = d_hd.sum(0, keepdims=True)
     d_hd_in = mm_nt(d_hd, ws[2 * D + 4])
@@ -219,7 +225,7 @@ def _bwd_kernel(arch: Arch, cdt, nw, *refs):
         relu_out = acts[i2 + 1]
         if (i2 + 1) in skips and i2 + 1 < D:
             relu_out = relu_out[:, tin:]
-        d_h = jnp.where(relu_out > 0.0, d_h, 0.0)
+        d_h = jnp.where(relu_out.astype(jnp.float32) > 0.0, d_h, 0.0)
         dws[2 * i2] = mmT_nt(acts[i2], d_h)
         dws[2 * i2 + 1] = d_h.sum(0, keepdims=True)
         d_in = mm_nt(d_h, ws[2 * i2])
@@ -262,6 +268,15 @@ def _w_specs(weights):
                          memory_space=pltpu.VMEM) for w in weights]
 
 
+def _cast_kernels(weights, cdt):
+    """Layer kernels go into the Pallas call pre-cast to cdt: numerically
+    identical (every matmul casts them anyway) but they sit in VMEM at
+    half width and skip the in-kernel cast. Biases stay f32 — they are
+    added to the f32 accumulator."""
+    return [w.astype(cdt) if i % 2 == 0 else w
+            for i, w in enumerate(weights)]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fused_mlp(x, ct_code, cd_code, weights, arch, block_rays, block_rays_bwd,
               cdt):
@@ -300,7 +315,7 @@ def _call_fwd(x, ct_code, cd_code, weights, arch: Arch, BR, cdt):
         out_specs=pl.BlockSpec((BR * S, out_dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(*args, *weights)
+    )(*args, *_cast_kernels(weights, cdt))
     return out[:n]
 
 
@@ -362,7 +377,7 @@ def _fused_mlp_bwd(arch: Arch, block_rays, block_rays_bwd, cdt, res, g):
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=_interpret(),
-    )(*args, *weights)
+    )(*args, *_cast_kernels(weights, cdt))
 
     oi = 0
     if arch.need_dx:
@@ -388,7 +403,7 @@ def nerf_mlp_pallas(params: dict, x: jnp.ndarray, *, D: int, in_xyz: int,
                     code_dir: Optional[jnp.ndarray] = None,
                     samples_per_ray: int = 1,
                     need_dx: bool = True,
-                    block_points: int = 2048, block_points_bwd: int = 512,
+                    block_points: int = 2048, block_points_bwd: int = 768,
                     compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Drop-in for nets.NeRFMLP.apply on TPU (training hot path).
 

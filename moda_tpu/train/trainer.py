@@ -508,10 +508,13 @@ class Trainer:
                 shape_samp = sample_mesh_points(self.mesh_rest, 1000, self.np_rng)
                 shape_samp_valid = 1.0
             self.reset_hparams(epoch)
+            t_mesh = time.time() - t_ep
 
             self.train_one_epoch(epoch, shape_samp, shape_samp_valid)
+            t_save0 = time.time()
             self.save("latest")
             self.save(str(epoch + 1))
+            t_save = time.time() - t_save0
             render_now = (epoch in (0, cfg.num_epochs // 2, cfg.num_epochs - 1)
                           or (cfg.num_epochs >= 20
                               and epoch % max(1, cfg.num_epochs // 20) == 0))
@@ -522,6 +525,7 @@ class Trainer:
                 except Exception as e:  # rendering must never kill training
                     self._log({"eval_render_error": str(e)})
             self._log({"epoch": epoch, "epoch_time": time.time() - t_ep,
+                       "t_mesh": round(t_mesh, 2), "t_save": round(t_save, 2),
                        "mesh_verts": len(self.mesh_rest.vertices)})
 
     def reset_hparams(self, epoch: int):
@@ -542,6 +546,14 @@ class Trainer:
             if epoch > 0:
                 self.counter_frz_rebone = 0.01
                 self.latest_vars["sil_err"][:] = 0
+
+    def _upload_batch(self, batch):
+        if self.mesh is not None and \
+                batch["frameid"].shape[0] % self.n_devices == 0:
+            return {k: jax.device_put(v, self._batch_sharding)
+                    for k, v in batch.items()}
+        # batch not divisible by the mesh -> replicate-free upload
+        return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def train_one_epoch(self, epoch: int, shape_samp, shape_samp_valid):
         cfg = self.cfg
@@ -578,14 +590,14 @@ class Trainer:
                     SCH.embedding_alpha(cfg, self.progress), jnp.float32),
                 base_rt=base_rt_dev,
             )
+            # upload inline on the main thread. A background device-feeder
+            # thread was tried (round 3) and made epochs 3x SLOWER: JAX
+            # dispatch from a second thread serializes against the main
+            # thread's step dispatch in the remote-TPU (axon) client.
             t_load0 = time.time()
             batch = next(self.loader)
-            if self.mesh is not None and \
-                    batch["frameid"].shape[0] % self.n_devices == 0:
-                batch_dev = {k: jax.device_put(v, self._batch_sharding)
-                             for k, v in batch.items()}
-            else:  # batch not divisible by the mesh -> replicate-free upload
-                batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch_dev = self._upload_batch(batch)
+            batch_fid = np.asarray(batch["frameid"])
             t_load = time.time() - t_load0
 
             t_step0 = time.time()
@@ -605,7 +617,7 @@ class Trainer:
             if self._pending is not None:
                 self._process_step_outputs(*self._pending, epoch=epoch,
                                            step_in_epoch=i - 1)
-            self._pending = (np.asarray(batch["frameid"]), aux, host_out)
+            self._pending = (batch_fid, aux, host_out)
 
             self.total_steps_done += 1
             self.counter_frz_rebone -= 1.0 / max(self.final_steps, 1)
