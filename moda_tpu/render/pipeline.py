@@ -344,6 +344,11 @@ def inference_deform(model, params, mvars, rays, xyz_sampled, z_vals, key, cfg,
     result["img_coarse"] = rgb
     result["depth_rnd"] = depth_rnd[..., None]
     result["sil_coarse"] = sil[..., None]
+    if cfg.use_embed:
+        # rendered CSE feature (unit-norm), for the eval grid's feat-err
+        # channel (train_utils.py:1482-1514) and match vis
+        result["feat_rnd"] = feat_rnd / jnp.maximum(
+            Q.safe_norm(feat_rnd, keepdims=True), 1e-9)
     if render_vis:
         result["vis_pred"] = (vis_pred * weights).sum(-1)[..., None]
 

@@ -322,6 +322,17 @@ def build_rays_image(
         rays["bone_rts"] = flat(jnp.broadcast_to(bone_rts[:, None], (B, P, Bb, D)))
         rays["rest_pose_code"] = model.apply_rest_pose_code(params, jnp.zeros((1,), jnp.int32))
 
+    if cfg.use_unc:
+        # unc-MLP inputs for the eval grid's uncertainty channel
+        # (rendering.py:501-516): normalized pixel coords + frame time
+        off = jnp.asarray(model.offset, jnp.float32)[dataid]
+        ts = ((frameid.astype(jnp.float32) - off) / model.max_ts * 2.0 - 1.0)
+        rays["ts"] = flat(jnp.broadcast_to(ts[:, None, None], (B, P, 1)))
+        rays["vid_code"] = per_ray(model.apply_vid_code(params, dataid))
+        xy1 = jnp.concatenate([xys, jnp.ones_like(xys[..., :1])], -1)
+        rays["xysn"] = flat(
+            (xy1[..., None, :] @ jnp.swapaxes(Kinv, -1, -2)[:, None])[..., 0, :2])
+
     if rtk_target is not None and frameid_target is not None:
         Rt, Tt, Kit = cam.prepare_ray_cams(rtk_target, kaug)
         rtk_vec_t = jnp.concatenate(

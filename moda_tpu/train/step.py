@@ -127,7 +127,11 @@ def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
         # in-training CSE fine-tune (ft_cse, moda.py:1388-1398 + 723-731):
         # run the trainable CSE on the batch crops, distill against the
         # precomputed features, and feed the live features to the renderer.
-        # Batch mode only — lineload batches carry rows, not full crops.
+        # Batch mode only — EXACTLY as the reference: its lineload input
+        # path (convert_line_input, moda.py:1330-1363) never calls csenet,
+        # only convert_batch_input does (moda.py:1388), and no recipe in
+        # scripts/template.sh passes --ft_cse. Lineload rows carry no
+        # crops for the CNN to consume in either codebase.
         csenet_loss = None
         if cfg.ft_cse and cfg.use_embed and not cfg.lineload:
             S = cfg.img_size

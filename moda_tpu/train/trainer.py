@@ -450,6 +450,20 @@ class Trainer:
                 mag = np.clip(np.linalg.norm(flo, axis=-1, keepdims=True) * 2, 0, 1)
                 ang = (np.arctan2(flo[..., 1:2], flo[..., :1]) / np.pi + 1) / 2
                 tile.append(np.concatenate([mag, ang, 1 - mag], -1))
+            # feat-err + unc channels (reference eval grid,
+            # train_utils.py:1482-1514)
+            if "feat_rnd" in out and obs is not None \
+                    and "dp_feat_rsmp" in obs:
+                gt_f = np.asarray(obs["dp_feat_rsmp"], np.float32)  # [16,S,S]
+                gt_f = np.transpose(gt_f, (1, 2, 0))
+                if gt_f.shape[0] != rs:
+                    gt_f = cv2.resize(gt_f, (rs, rs))
+                err = np.linalg.norm(out["feat_rnd"] - gt_f, axis=-1,
+                                     keepdims=True) / 2.0  # unit vecs: max 2
+                tile.append(np.repeat(np.clip(err, 0, 1), 3, axis=-1))
+            if "unc_pred" in out:
+                unc = np.clip(np.asarray(out["unc_pred"])[..., :1], 0, 1)
+                tile.append(np.repeat(unc, 3, axis=-1))
             tiles.append(np.concatenate(tile, axis=1))
         n = int(np.ceil(np.sqrt(len(tiles))))
         H, W, _ = tiles[0].shape
@@ -526,7 +540,9 @@ class Trainer:
                     self._log({"eval_render_error": str(e)})
             self._log({"epoch": epoch, "epoch_time": time.time() - t_ep,
                        "t_mesh": round(t_mesh, 2), "t_save": round(t_save, 2),
-                       "mesh_verts": len(self.mesh_rest.vertices)})
+                       "mesh_verts": len(self.mesh_rest.vertices),
+                       # density-grid health stat (train_utils.py:1435-1440)
+                       "frac_occupied": round(self.mesh_rest.frac_occupied, 5)})
 
     def reset_hparams(self, epoch: int):
         cfg = self.cfg
@@ -732,6 +748,11 @@ class Trainer:
                            meta={"num_fr": self.data_info.num_fr,
                                  "num_bones": self.cfg.num_bones,
                                  "steps": self.total_steps_done})
+        # OBJ/cam text exports only for 'latest': the numbered npz is the
+        # restore artifact, and formatting two ~10k-vert OBJs per epoch
+        # cost 6+ s/epoch on this 1-vCPU host (log.jsonl t_save)
+        if tag != "latest":
+            return
         if len(self.mesh_rest.vertices) > 0:
             self.mesh_rest.export_obj(os.path.join(self.save_dir, f"mesh_rest-{tag}.obj"))
         # camera-trajectory mesh (train_utils.py:599-601 mesh_cam export)
