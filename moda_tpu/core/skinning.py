@@ -84,13 +84,60 @@ def skinning_weights(
     bones [bs,B,10] or [B,10]; pts [bs,N,3]; dskin [bs,N,B] or None;
     log_scale: scalar (skin_aux[0]).  Returns softmax weights [bs,N,B].
     (geom_utils.py:237-277: mdis = -10 * sum(100*e^ls * s * (R(c-p))^2))
+
+    Computed as a quadratic form: sum_a s_a (R^T(c-p))_a^2 =
+    (p-c)^T M (p-c) with M = R diag(s) R^T, so per point it is one
+    [N,10] @ [10,B] matmul against features f(p) = (p^2, cross, p, 1) —
+    the [bs,N,B,3] rotate/square intermediates of the naive form (78 MB
+    each at the recipe's 2048x128x25 bundle, several HBM round trips
+    fwd+bwd) never exist. Bit-identical math up to fp reassociation
+    (regression-tested against the naive form in test_core_skinning).
     """
     if bones.ndim == 2:
         bones = bones[None]
     center, orient, scale = SE3.vec_to_sim3(bones)  # [bs,B,3],[bs,B,3,3],[bs,B,3]
-    # rotate (center - pt) into each bone's local frame: R^T stored transposed
+    # M_b = R diag(s) R^T (3x3 PSD per bone): M_il = sum_j O_ij s_j O_lj
+    M = jnp.einsum("bkij,bkj,bklj->bkil", orient, scale, orient)  # [bs,B,3,3]
+    Mc = jnp.einsum("bkil,bkl->bki", M, center)  # [bs,B,3]
+    cMc = jnp.einsum("bki,bki->bk", center, Mc)  # [bs,B]
+    # bone coefficient rows: p^T M p - 2 p^T (Mc) + cMc
+    G = jnp.concatenate([
+        M[..., 0, 0:1], M[..., 1, 1:2], M[..., 2, 2:3],
+        2.0 * M[..., 0, 1:2], 2.0 * M[..., 0, 2:3], 2.0 * M[..., 1, 2:3],
+        -2.0 * Mc, cMc[..., None],
+    ], -1)  # [bs,B,10]
+    f = jnp.concatenate([
+        pts * pts,
+        pts[..., 0:1] * pts[..., 1:2], pts[..., 0:1] * pts[..., 2:3],
+        pts[..., 1:2] * pts[..., 2:3],
+        pts, jnp.ones_like(pts[..., :1]),
+    ], -1)  # [bs,N,10]
+    G = jnp.broadcast_to(jnp.swapaxes(G, -1, -2), (pts.shape[0], 10, G.shape[1]))
+    # fp32 accumulation: the quadratic form subtracts large p^2/c^2 terms
+    # to produce a small squared distance — bf16 MXU passes (the TPU
+    # default for f32 operands) would put ~1e-3 absolute noise on logits
+    # that -1000*e^ls then amplifies; K=10 makes HIGHEST free here
+    mdis = jnp.einsum("bnf,bfk->bnk", f, G,
+                      precision=jax.lax.Precision.HIGHEST)  # [bs,N,B]
+    mdis = mdis * (-1000.0 * jnp.exp(log_scale))
+    if dskin is not None:
+        mdis = mdis + dskin
+    return jax.nn.softmax(mdis, axis=-1)
+
+
+def skinning_weights_naive(
+    bones: jnp.ndarray,
+    pts: jnp.ndarray,
+    dskin: jnp.ndarray | None,
+    log_scale: jnp.ndarray,
+) -> jnp.ndarray:
+    """Direct transcription of geom_utils.py:237-277 (rotate-and-square
+    over [bs,N,B,3]); kept as the conformance oracle for the quadratic-
+    form fast path above."""
+    if bones.ndim == 2:
+        bones = bones[None]
+    center, orient, scale = SE3.vec_to_sim3(bones)
     diff = center[:, None, :, :] - pts[:, :, None, :]  # [bs,N,B,3]
-    # orient^T @ diff  ==  sum over last axis of orient * diff
     local = jnp.einsum("bkij,bnkj->bnki", jnp.swapaxes(orient, -1, -2), diff)
     mdis = scale[:, None] * jnp.square(local)  # [bs,N,B,3]
     mdis = mdis * (100.0 * jnp.exp(log_scale))

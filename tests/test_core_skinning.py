@@ -105,3 +105,32 @@ def test_generate_bones():
     bones = np.asarray(SK.generate_bones(3, 25, 0.5))
     assert bones.shape == (25, 10)
     np.testing.assert_allclose(bones[:, 3:7], np.tile([1, 0, 0, 0], (25, 1)))
+
+
+def test_skinning_weights_quadratic_matches_naive(rng):
+    """The quadratic-form fast path (one [N,10]@[10,B] matmul) must match
+    the rotate-and-square transcription of geom_utils.py:237-277 — values
+    AND gradients (it sits on the training hot path)."""
+    import jax
+
+    B, bs, N = 7, 3, 11
+    bones = make_bones(rng, B)
+    pts = rng.normal(size=(bs, N, 3)).astype(np.float32) * 0.4
+    dskin = rng.normal(size=(bs, N, B)).astype(np.float32) * 0.1
+    ls = jnp.asarray(0.3)
+
+    for bn in (jnp.asarray(bones), jnp.asarray(np.tile(bones, (bs, 1, 1)))):
+        w_fast = np.asarray(SK.skinning_weights(bn, jnp.asarray(pts), jnp.asarray(dskin), ls))
+        w_ref = np.asarray(SK.skinning_weights_naive(bn, jnp.asarray(pts), jnp.asarray(dskin), ls))
+        np.testing.assert_allclose(w_fast, w_ref, atol=2e-5)
+
+    def loss(fn, bn, p, d, s):
+        return (fn(bn, p, d, s) * jnp.arange(B)).sum()
+
+    bn = jnp.asarray(bones)
+    g_fast = jax.grad(lambda *a: loss(SK.skinning_weights, *a), argnums=(0, 1, 2, 3))(
+        bn, jnp.asarray(pts), jnp.asarray(dskin), ls)
+    g_ref = jax.grad(lambda *a: loss(SK.skinning_weights_naive, *a), argnums=(0, 1, 2, 3))(
+        bn, jnp.asarray(pts), jnp.asarray(dskin), ls)
+    for a, b in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
