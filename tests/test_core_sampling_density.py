@@ -91,3 +91,37 @@ def test_sdf_to_sigma_beta_floor():
     sdf = -np.asarray(raw)
     expect = (0.5 + 0.5 * np.sign(sdf) * np.expm1(-np.abs(sdf) * ib)) * ib
     np.testing.assert_allclose(np.asarray(a), expect, rtol=1e-5)
+
+
+def test_sample_pdf_matches_searchsorted_oracle(rng):
+    """The gather-free masked-reduction lookup must reproduce the
+    reference's searchsorted+take_along_axis semantics exactly
+    (rendering.py:582-623), including endpoint/tie edges."""
+    N, M, NI = 33, 17, 21
+    bins = np.sort(rng.uniform(0.1, 2.0, size=(N, M)).astype(np.float32), -1)
+    w = rng.uniform(0.0, 1.0, size=(N, M - 1)).astype(np.float32)
+    w[0] = 0.0            # all-zero weights -> uniform via eps
+    w[1, :3] = 100.0      # sharp peak -> many ties in cdf after eps
+    for det in (True, False):
+        key = None if det else jax.random.key(3)
+        got = np.asarray(S.sample_pdf(jnp.asarray(bins), jnp.asarray(w), NI, key, det=det))
+        # numpy oracle (reference semantics)
+        eps = 1e-5
+        ww = w + eps
+        pdf = ww / ww.sum(-1, keepdims=True)
+        cdf = np.concatenate([np.zeros((N, 1), np.float32), np.cumsum(pdf, -1)], -1)
+        if det:
+            u = np.broadcast_to(np.linspace(0, 1, NI, dtype=np.float32), (N, NI))
+        else:
+            u = np.asarray(jax.random.uniform(key, (N, NI), dtype=jnp.float32))
+        inds = np.stack([np.searchsorted(c, uu, side="right") for c, uu in zip(cdf, u)])
+        below = np.clip(inds - 1, 0, M - 1)
+        above = np.clip(inds, 0, M - 1)
+        cdf_b = np.take_along_axis(cdf, below, -1)
+        cdf_a = np.take_along_axis(cdf, above, -1)
+        bins_b = np.take_along_axis(bins, np.clip(below, 0, M - 1), -1)
+        bins_a = np.take_along_axis(bins, np.clip(above, 0, M - 1), -1)
+        denom = cdf_a - cdf_b
+        denom = np.where(denom < eps, 1.0, denom)
+        want = bins_b + (u - cdf_b) / denom * (bins_a - bins_b)
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"det={det}")

@@ -24,24 +24,51 @@ def aggregate_perfetto(path: str, min_ms: float = 0.05):
     with gzip.open(path, "rt") as f:
         data = json.load(f)
     events = data["traceEvents"] if isinstance(data, dict) else data
-    # device tracks: pid/tid names containing TPU; fall back to all X events
-    names = {}
+    # metadata: process names (device vs host) and thread names (track
+    # level). A device pid carries SEVERAL overlapping tracks — "XLA
+    # Modules" (whole jit program), "XLA Ops" (fusions/custom calls),
+    # "Steps"… Summing all of them double-counts every op inside its
+    # module; aggregate the op-level track only.
+    pnames, tnames = {}, {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") in ("process_name", "thread_name"):
-            names[(e.get("pid"), e.get("tid"))] = e["args"].get("name", "")
-            names[e.get("pid")] = e["args"].get("name", "") if e.get("name") == "process_name" else names.get(e.get("pid"), "")
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
+            pnames[e.get("pid")] = e["args"].get("name", "")
+        elif e.get("name") == "thread_name":
+            tnames[(e.get("pid"), e.get("tid"))] = e["args"].get("name", "")
+
+    def device_tids(level):
+        out = set()
+        for (pid, tid), tn in tnames.items():
+            pn = str(pnames.get(pid, ""))
+            if "TPU" not in pn and "/device" not in pn.lower():
+                continue
+            if level in tn:
+                out.add((pid, tid))
+        return out
+
+    op_tids = device_tids("XLA Ops") or device_tids("Ops")
+    mod_tids = device_tids("XLA Modules") or device_tids("Modules")
     per_op = collections.Counter()
-    total = 0.0
+    total = module_total = 0.0
     for e in events:
         if e.get("ph") != "X":
             continue
-        pname = str(names.get(e.get("pid"), ""))
-        if "TPU" not in pname and "/device" not in pname.lower():
-            continue
+        key = (e.get("pid"), e.get("tid"))
         dur = e.get("dur", 0) / 1e3  # us -> ms
+        if key in mod_tids:
+            module_total += dur
+        if op_tids:
+            if key not in op_tids:
+                continue
+        else:  # no thread metadata: fall back to all device events
+            pn = str(pnames.get(e.get("pid"), ""))
+            if "TPU" not in pn and "/device" not in pn.lower():
+                continue
         per_op[e.get("name", "?")] += dur
         total += dur
-    return per_op, total
+    return per_op, total, module_total
 
 
 def main():
@@ -79,11 +106,12 @@ def main():
         print("no perfetto trace found under", args.trace_dir)
         print(os.popen(f"find {args.trace_dir} -type f | head -20").read())
         return
-    per_op, total = aggregate_perfetto(traces[-1])
+    per_op, total, module_total = aggregate_perfetto(traces[-1])
     per_step = total / max(args.steps, 1)
     print(f"trace: {traces[-1]}")
-    print(f"device time: {total:.1f} ms over {args.steps} steps "
-          f"({per_step:.1f} ms/step)")
+    print(f"op-track device time: {total:.1f} ms over {args.steps} steps "
+          f"({per_step:.1f} ms/step); module track: "
+          f"{module_total / max(args.steps, 1):.1f} ms/step")
     print(f"{'ms/step':>9}  {'%':>5}  op")
     for name, ms in per_op.most_common(args.top):
         print(f"{ms / args.steps:9.3f}  {100 * ms / total:5.1f}  {name[:110]}")
