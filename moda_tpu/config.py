@@ -33,6 +33,11 @@ class MoDAConfig:
     lineload: bool = False
     use_rtk_file: bool = False
     debug: bool = False          # per-step timing + profiler hooks
+    # optimizer steps per XLA dispatch (lax.scan chain): amortizes the
+    # per-step dispatch + fetch round trips of the remote-TPU transport.
+    # 0 = auto (10 on TPU, 1 elsewhere); must divide 50 so the 50-step
+    # near-far refresh cadence (moda.py:485-491) lands on chunk edges
+    steps_chunk: int = 0
 
     # model: shape, appearance, feature
     use_human: bool = False

@@ -36,6 +36,11 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def batch_sharding_stacked(mesh: Mesh) -> NamedSharding:
+    """For chunk-stacked batches [K, 2B, ...]: shard the [2B] axis."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -109,13 +109,32 @@ class StepExtras(NamedTuple):
     base_rt: jnp.ndarray = None    # [num_fr,3,4] prior cameras (use_cam) or None
 
 
+# StepExtras fields that vary per step inside a dispatch chunk; the rest
+# (shape_samp, base_rt, ...) are step-invariant within an epoch and would
+# waste host->device bytes if stacked chunk_steps times
+CHUNK_STEP_FIELDS = ("progress", "loss_select", "root_update", "body_update",
+                     "shape_update", "cvf_update", "sil_err_median",
+                     "embed_alpha")
+
+
 def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
                     nsample: int, ndepth: int, use_fine: bool, use_dskin: bool,
                     use_bones: bool, nsample_active: int = 0, donate: bool = True,
-                    xyz_wt_snapshot=None, accu_steps: int = 1):
+                    xyz_wt_snapshot=None, accu_steps: int = 1,
+                    chunk_steps: int = 1):
     """accu_steps > 1 scans over microbatch slices of the [2B] axis,
     averaging grads before one optimizer update (the reference's
-    accumulation at train_utils.py:951-969 done in-graph)."""
+    accumulation at train_utils.py:951-969 done in-graph).
+
+    chunk_steps > 1 returns a CHUNKED step that lax.scans chunk_steps full
+    optimizer steps in one XLA dispatch over stacked batches — on the
+    remote-TPU (axon) transport each dispatch and each output fetch costs
+    a round trip, which at chunk_steps=1 dominates the wall-clock step
+    (VERDICT r2 #4). Signature of the chunked step:
+        (params, opt_state, mvars, batches, extras0, per_step, keys)
+    where batches/keys have a leading [chunk_steps] axis, per_step is a
+    dict of CHUNK_STEP_FIELDS each stacked [chunk_steps], and extras0
+    carries the step-invariant StepExtras fields."""
     cfg = model.cfg
 
     def loss_fn(params, mvars: ModelVars, batch, extras: StepExtras, key):
@@ -201,9 +220,8 @@ def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
         }
         return total, (aux, host_out)
 
-    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
-    def train_step(params, opt_state: OptState, mvars: ModelVars, batch,
-                   extras: StepExtras, key):
+    def step_core(params, opt_state: OptState, mvars: ModelVars, batch,
+                  extras: StepExtras, key):
         if accu_steps <= 1:
             (total, (aux, host_out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, mvars, batch, extras, key)
@@ -265,4 +283,21 @@ def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
         aux["shape_frozen"] = jnp.asarray(extras.shape_update, jnp.float32)
         return new_params, new_opt_state, aux, host_out
 
-    return train_step
+    if chunk_steps <= 1:
+        return jax.jit(step_core, donate_argnums=(0, 1) if donate else ())
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def chunked_step(params, opt_state: OptState, mvars: ModelVars, batches,
+                     extras0: StepExtras, per_step, keys):
+        def body(carry, xs):
+            p, o = carry
+            b, ps, k = xs
+            ex = extras0._replace(**ps)
+            p, o, aux, host = step_core(p, o, mvars, b, ex, k)
+            return (p, o), (aux, host)
+
+        (p, o), (auxs, hosts) = jax.lax.scan(
+            body, (params, opt_state), (batches, per_step, keys))
+        return p, o, auxs, hosts
+
+    return chunked_step

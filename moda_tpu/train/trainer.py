@@ -168,7 +168,7 @@ class Trainer:
         return MoDAOptimizer(self.cfg, total_steps=self.final_steps // self.cfg.accu_steps)
 
     def get_step_fn(self, use_fine: bool, use_dskin: bool, use_bones: bool,
-                    is_active: bool = False):
+                    is_active: bool = False, chunk: int = 1):
         cfg = self.cfg
         # active sampling splits the budget (moda.py:1066-1071)
         if is_active:
@@ -176,15 +176,31 @@ class Trainer:
             ns_uniform = int(cfg.nsample * (1 - cfg.nactive))
         else:
             ns_active, ns_uniform = 0, cfg.nsample
-        sig = (use_fine, use_dskin, use_bones, ns_uniform, ns_active, cfg.ndepth)
+        sig = (use_fine, use_dskin, use_bones, ns_uniform, ns_active,
+               cfg.ndepth, chunk)
         if sig not in self._step_cache:
             self._step_cache[sig] = make_train_step(
                 self.model, self.optimizer, nsample=ns_uniform,
                 ndepth=cfg.ndepth, use_fine=use_fine, use_dskin=use_dskin,
                 use_bones=use_bones, nsample_active=ns_active, donate=False,
                 xyz_wt_snapshot=getattr(self, "xyz_wt_snapshot", None),
-                accu_steps=cfg.accu_steps)
+                accu_steps=cfg.accu_steps, chunk_steps=chunk)
         return self._step_cache[sig]
+
+    @property
+    def steps_chunk(self) -> int:
+        """Optimizer steps chained per dispatch (config.steps_chunk;
+        0 = auto: 10 on TPU where round trips dominate, 1 elsewhere —
+        CPU tests keep the single-step path)."""
+        k = self.cfg.steps_chunk
+        if k == 0:
+            k = 10 if jax.default_backend() == "tpu" else 1
+        if self.cfg.debug:
+            k = 1  # per-step timing needs per-step dispatches
+        total = ITERS_PER_EPOCH * self.cfg.accu_steps
+        while k > 1 and (total % k or 50 % k):
+            k -= 1
+        return k
 
     # --------------------------------------------------------------- priors
     def reset_nf(self):
@@ -563,13 +579,36 @@ class Trainer:
                 self.counter_frz_rebone = 0.01
                 self.latest_vars["sil_err"][:] = 0
 
-    def _upload_batch(self, batch):
+    def _upload_batch(self, batch, stacked: bool = False):
+        """stacked=True: arrays carry a leading [chunk_steps] axis; the
+        data-parallel shard axis is then axis 1."""
+        ax = 1 if stacked else 0
         if self.mesh is not None and \
-                batch["frameid"].shape[0] % self.n_devices == 0:
-            return {k: jax.device_put(v, self._batch_sharding)
-                    for k, v in batch.items()}
+                np.shape(batch["frameid"])[ax] % self.n_devices == 0:
+            from moda_tpu.parallel.mesh import batch_sharding_stacked
+            sh = batch_sharding_stacked(self.mesh) if stacked \
+                else self._batch_sharding
+            return {k: jax.device_put(v, sh) for k, v in batch.items()}
         # batch not divisible by the mesh -> replicate-free upload
         return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def _extras_scalars(self, progress: float, step_in_epoch: int):
+        """Per-step StepExtras scalar fields (CHUNK_STEP_FIELDS order)."""
+        cfg = self.cfg
+        ind = SCH.compute_indicators(cfg, progress, step_in_epoch,
+                                     self.counter_frz_rebone, self.is_fine_tune)
+        sil_nonzero = self.latest_vars["sil_err"][self.latest_vars["sil_err"] > 0]
+        sil_med = float(np.median(sil_nonzero)) if len(sil_nonzero) else 1e9
+        return {
+            "progress": np.float32(progress),
+            "loss_select": np.int32(ind.loss_select),
+            "root_update": np.float32(ind.root_update),
+            "body_update": np.float32(ind.body_update),
+            "shape_update": np.float32(ind.shape_update),
+            "cvf_update": np.float32(ind.cvf_update),
+            "sil_err_median": np.float32(sil_med),
+            "embed_alpha": np.float32(SCH.embedding_alpha(cfg, progress)),
+        }
 
     def train_one_epoch(self, epoch: int, shape_samp, shape_samp_valid):
         cfg = self.cfg
@@ -577,7 +616,9 @@ class Trainer:
         use_dskin = SCH.use_dskin(cfg, epoch, cfg.num_epochs)
         use_bones = SCH.use_bones(cfg, epoch, self.is_fine_tune)
         is_active = cfg.use_unc and self.progress >= cfg.warmup_steps
-        step_fn = self.get_step_fn(use_fine, use_dskin, use_bones, is_active)
+        K = self.steps_chunk
+        step_fn = self.get_step_fn(use_fine, use_dskin, use_bones, is_active,
+                                   chunk=K)
 
         # epoch-invariant device arrays uploaded once (per-step transfer of
         # base_rt/shape_samp would add host->device traffic every iteration)
@@ -585,58 +626,75 @@ class Trainer:
         shape_samp_valid_dev = jnp.asarray(shape_samp_valid, jnp.float32)
         base_rt_dev = (jnp.asarray(self.latest_vars["rt_raw"]) if cfg.use_cam
                        else jnp.zeros((self.data_info.num_fr, 3, 4)))
+        extras0 = StepExtras(
+            progress=jnp.asarray(0.0), loss_select=jnp.asarray(0),
+            root_update=jnp.asarray(1.0), body_update=jnp.asarray(1.0),
+            shape_update=jnp.asarray(0.0), cvf_update=jnp.asarray(0.0),
+            sil_err_median=jnp.asarray(1e9),
+            shape_samp=shape_samp_dev, shape_samp_valid=shape_samp_valid_dev,
+            embed_alpha=jnp.asarray(10.0), base_rt=base_rt_dev,
+        )
 
-        for i in range(ITERS_PER_EPOCH * cfg.accu_steps):
+        total_iters = ITERS_PER_EPOCH * cfg.accu_steps
+        for i in range(0, total_iters, K):
             self.progress = self.total_steps_done / max(self.final_steps, 1)
-            ind = SCH.compute_indicators(cfg, self.progress, i, self.counter_frz_rebone,
-                                         self.is_fine_tune)
-            sil_nonzero = self.latest_vars["sil_err"][self.latest_vars["sil_err"] > 0]
-            sil_med = float(np.median(sil_nonzero)) if len(sil_nonzero) else 1e9
-            extras = StepExtras(
-                progress=jnp.asarray(self.progress, jnp.float32),
-                loss_select=jnp.asarray(ind.loss_select),
-                root_update=jnp.asarray(ind.root_update, jnp.float32),
-                body_update=jnp.asarray(ind.body_update, jnp.float32),
-                shape_update=jnp.asarray(ind.shape_update, jnp.float32),
-                cvf_update=jnp.asarray(ind.cvf_update, jnp.float32),
-                sil_err_median=jnp.asarray(sil_med, jnp.float32),
-                shape_samp=shape_samp_dev,
-                shape_samp_valid=shape_samp_valid_dev,
-                embed_alpha=jnp.asarray(
-                    SCH.embedding_alpha(cfg, self.progress), jnp.float32),
-                base_rt=base_rt_dev,
-            )
+
             # upload inline on the main thread. A background device-feeder
             # thread was tried (round 3) and made epochs 3x SLOWER: JAX
             # dispatch from a second thread serializes against the main
             # thread's step dispatch in the remote-TPU (axon) client.
             t_load0 = time.time()
-            batch = next(self.loader)
-            batch_dev = self._upload_batch(batch)
-            batch_fid = np.asarray(batch["frameid"])
+            if K == 1:
+                scal = self._extras_scalars(self.progress, i)
+                extras = extras0._replace(
+                    **{f: jnp.asarray(v) for f, v in scal.items()})
+                batch = next(self.loader)
+                batch_dev = self._upload_batch(batch)
+                fids = [np.asarray(batch["frameid"])]
+                keys = self._next_key()
+            else:
+                # K chained steps per dispatch: stack K batches + the
+                # per-step schedule scalars; one upload, one dispatch, one
+                # (deferred) fetch — round trips amortized K-fold
+                scal_list, bat_list, fids = [], [], []
+                for j in range(K):
+                    prog = (self.total_steps_done + j) / max(self.final_steps, 1)
+                    scal_list.append(self._extras_scalars(prog, i + j))
+                    b = next(self.loader)
+                    bat_list.append(b)
+                    fids.append(np.asarray(b["frameid"]))
+                per_step = {f: jnp.asarray(np.stack([s[f] for s in scal_list]))
+                            for f in scal_list[0]}
+                batch_dev = self._upload_batch(
+                    {k: np.stack([b[k] for b in bat_list])
+                     for k in bat_list[0]}, stacked=True)
+                keys = jnp.stack([self._next_key() for _ in range(K)])
             t_load = time.time() - t_load0
 
             t_step0 = time.time()
-            self.params, self.opt_state, aux, host_out = step_fn(
-                self.params, self.opt_state, self.mvars, batch_dev, extras,
-                self._next_key())
+            if K == 1:
+                self.params, self.opt_state, aux, host_out = step_fn(
+                    self.params, self.opt_state, self.mvars, batch_dev,
+                    extras, keys)
+            else:
+                self.params, self.opt_state, aux, host_out = step_fn(
+                    self.params, self.opt_state, self.mvars, batch_dev,
+                    extras0, per_step, keys)
             if self.cfg.debug:
                 jax.block_until_ready(aux["total_loss"])
                 self._log({"t_load": t_load, "t_step": time.time() - t_step0,
                            "step": self.total_steps_done})
 
-            # host bookkeeping runs one step behind: reading aux/host_out of
-            # the step just launched would synchronize every iteration, and
-            # device->host sync latency (especially through a remote-TPU
-            # tunnel) then dominates the step time. Processing step i-1 while
-            # step i executes keeps the device busy.
+            # host bookkeeping runs one chunk behind: reading aux/host_out
+            # of the dispatch just launched would synchronize every
+            # iteration, and device->host sync latency (especially through
+            # a remote-TPU tunnel) then dominates the step time.
             if self._pending is not None:
-                self._process_step_outputs(*self._pending, epoch=epoch,
-                                           step_in_epoch=i - 1)
-            self._pending = (batch_fid, aux, host_out)
+                self._process_chunk_outputs(*self._pending, epoch=epoch)
+            self._pending = (fids, aux, host_out, i, K)
 
-            self.total_steps_done += 1
-            self.counter_frz_rebone -= 1.0 / max(self.final_steps, 1)
+            self.total_steps_done += K
+            self.counter_frz_rebone -= K / max(self.final_steps, 1)
 
             # near-far re-estimation after nf_reset progress (moda.py:485-491)
             if self.progress >= cfg.nf_reset and len(self.mesh_rest.vertices) > 100 \
@@ -646,10 +704,9 @@ class Trainer:
                                   self.latest_vars["rtk"], self.latest_vars["idk"], corners)
                 self._set_mvars(near_far=nf)
 
-        # flush the last step's outputs at epoch end
+        # flush the last chunk's outputs at epoch end
         if self._pending is not None:
-            self._process_step_outputs(*self._pending, epoch=epoch,
-                                       step_in_epoch=ITERS_PER_EPOCH - 1)
+            self._process_chunk_outputs(*self._pending, epoch=epoch)
             self._pending = None
 
     def _fetch_outputs(self, aux, host_out):
@@ -678,12 +735,25 @@ class Trainer:
             off += n
         return jtu.tree_unflatten(treedef, out)
 
-    def _process_step_outputs(self, fid, aux, host_out, epoch: int,
+    def _process_chunk_outputs(self, fids, aux, host_out, i0: int, K: int,
+                               epoch: int):
+        """Fetch a finished dispatch's stacked outputs once, then consume
+        each of its K steps' slices on the host."""
+        aux, host_out = self._fetch_outputs(aux, host_out)
+        if K == 1:
+            self._consume_step_outputs(fids[0], aux, host_out, epoch, i0)
+            return
+        for j in range(K):
+            aux_j = {k: v[j] for k, v in aux.items()}
+            host_j = {k: v[j] for k, v in host_out.items()}
+            self._consume_step_outputs(fids[j], aux_j, host_j, epoch, i0 + j)
+
+    def _consume_step_outputs(self, fid, aux, host_out, epoch: int,
                               step_in_epoch: int):
         """Deferred host-side consumption of a finished step's outputs
-        (save_latest_vars, sil_err history, rollback check, logging)."""
+        (save_latest_vars, sil_err history, rollback check, logging).
+        aux/host_out are already fetched to host numpy."""
         cfg = self.cfg
-        aux, host_out = self._fetch_outputs(aux, host_out)
         # rtk = current composed estimate (prior ∘ learned delta). rt_raw is
         # the RAW prior only (save_latest_vars stores the loader's rtk,
         # moda.py:1356,1511-1512) — overwriting it with the composed pose

@@ -199,7 +199,7 @@ def test_rt_raw_keeps_prior_cameras(tmp_path):
     host_out = {"rtk": jnp.asarray(fake),
                 "frame_err": jnp.zeros(4), "frame_cnt": jnp.zeros(4)}
     aux = {"total_loss": jnp.asarray(0.1)}
-    tr._process_step_outputs(np.asarray([0, 1]), aux, host_out,
-                             epoch=0, step_in_epoch=1)
+    tr._process_chunk_outputs([np.asarray([0, 1])], aux, host_out,
+                              i0=1, K=1, epoch=0)
     np.testing.assert_array_equal(tr.latest_vars["rt_raw"], raw0)
     np.testing.assert_allclose(tr.latest_vars["rtk"][0, 2, 3], 9.9)
