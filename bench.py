@@ -210,7 +210,51 @@ def bench_stage(name: str, n_steps: int = 50, profile_dir: str | None = None,
     return out
 
 
+def check_tunnel() -> str | None:
+    """The axon TPU tunnel relays through local ports served by a relay
+    process that can die mid-session (its stdio pipe to the supervisor is
+    the transport; see .claude/skills/verify/SKILL.md). A dead relay makes
+    every device call block forever — fail fast and honestly instead."""
+    if os.environ.get("JAX_PLATFORMS", "").lower() not in ("", "axon", "tpu"):
+        return None
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return None
+    import socket
+
+    for port in (8082, 8083, 8087):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=5):
+                return None  # something is listening: relay alive
+        except OSError:
+            continue
+    return "axon tunnel relay is down (no listener on relay ports)"
+
+
+def start_deadman(seconds: float) -> None:
+    """Hard-exit if the bench wedges (e.g. tunnel dies mid-run): a hung
+    bench is worse for the driver than a failed one."""
+    import threading
+
+    def boom():
+        print(json.dumps({"metric": "train_rays_per_sec", "value": 0,
+                          "unit": "rays/s", "vs_baseline": 0,
+                          "error": f"bench deadman fired after {seconds}s"}),
+              flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    err = check_tunnel()
+    if err:
+        print(json.dumps({"metric": "train_rays_per_sec", "value": 0,
+                          "unit": "rays/s", "vs_baseline": 0, "error": err}))
+        raise SystemExit(2)
+    start_deadman(float(os.environ.get("BENCH_DEADMAN_S", 2400)))
+
     from moda_tpu.runtime import setup_jax
     setup_jax()
 
