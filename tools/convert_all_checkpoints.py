@@ -44,34 +44,9 @@ import sys
 import numpy as np
 
 
-def _flatten(tree, prefix=""):
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(_flatten(v, f"{prefix}{k}/"))
-    else:
-        out[prefix[:-1]] = np.asarray(tree)
-    return out
-
-
-def _unflatten(flat):
-    tree = {}
-    for k, v in flat.items():
-        parts = k.split("/")
-        node = tree
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = np.asarray(v)
-    return tree
-
-
-def save_pytree_npz(path: str, tree) -> None:
-    np.savez(path, **_flatten(tree))
-
-
-def load_pytree_npz(path: str):
-    with np.load(path) as z:
-        return _unflatten({k: z[k] for k in z.files})
+from moda_tpu.preproc.checkpoints import (  # noqa: E402,F401 (re-exported)
+    load_cse_predictor, load_pointrend_predictor, load_pytree_npz,
+    load_vcn_predictor, save_pytree_npz)
 
 
 def _find(weights_dir: str, patterns) -> str | None:
@@ -107,22 +82,6 @@ def convert_cse(path: str, out_dir: str) -> str:
     out = os.path.join(out_dir, "cse.npz")
     save_pytree_npz(out, tree)
     return out
-
-
-def load_vcn_predictor(npz_path: str):
-    from moda_tpu.preproc.vcn_flow import VCNFlowPredictor
-    t = load_pytree_npz(npz_path)
-    return VCNFlowPredictor(t["params"], mean=t["mean"])
-
-def load_pointrend_predictor(npz_path: str, **kw):
-    from moda_tpu.preproc.pointrend_infer import PointRendPredictor
-    return PointRendPredictor(load_pytree_npz(npz_path), **kw)
-
-def load_cse_predictor(npz_path: str, **kw):
-    from moda_tpu.preproc.cse_infer import CSEPredictor
-    t = load_pytree_npz(npz_path)
-    return CSEPredictor(t["backbone"], t["head"],
-                        vertex_embeddings=t.get("vertex_embeddings"), **kw)
 
 
 # ------------------------------------------------------------ acceptance
