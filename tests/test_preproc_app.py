@@ -61,6 +61,32 @@ def test_preproc_app_end_to_end(raw_frames, tmp_path):
         ])
 
 
+def test_predictor_loaders_accept_converter_layout(tmp_path):
+    """The npz layouts tools/convert_all_checkpoints.py emits must load
+    into predictors via preproc.checkpoints (the preproc_app consumption
+    path): vcn_rob.npz={params,mean}, cse.npz={backbone,head[,ve]}."""
+    from moda_tpu.preproc.checkpoints import (
+        load_cse_predictor, load_pointrend_predictor, load_vcn_predictor,
+        save_pytree_npz)
+
+    vcn_p = str(tmp_path / "vcn_rob.npz")
+    save_pytree_npz(vcn_p, {"params": {"w": np.ones((2, 2), np.float32)},
+                            "mean": np.asarray([0.3, 0.3, 0.3], np.float32)})
+    pred = load_vcn_predictor(vcn_p)
+    assert pred.params["w"].shape == (2, 2)
+    np.testing.assert_allclose(pred.mean, [0.3, 0.3, 0.3])
+
+    pr_p = str(tmp_path / "pointrend.npz")
+    save_pytree_npz(pr_p, {"rpn": {"w": np.zeros((1,), np.float32)}})
+    assert load_pointrend_predictor(pr_p, keep_classes=(0,)).keep_classes == (0,)
+
+    cse_p = str(tmp_path / "cse.npz")
+    save_pytree_npz(cse_p, {"backbone": {"w": np.ones((1,), np.float32)},
+                            "head": {"b": np.zeros((1,), np.float32)}})
+    cse = load_cse_predictor(cse_p)
+    assert cse.vertex_embeddings is None and "w" in cse.bp
+
+
 def test_checkpoint_npz_roundtrip(tmp_path):
     from moda_tpu.preproc.checkpoints import load_pytree_npz, save_pytree_npz
 
