@@ -181,6 +181,8 @@ def test_sparsify_batch_ignores_non_pixel_arrays():
     assert sp["pix_ids"].shape == (4, 20)
 
 
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
 def test_pairloader_raises_when_workers_die():
     from moda_tpu.data.dataset import PairLoader
     ld = PairLoader([], 2, num_threads=1)  # no datasets -> workers crash
