@@ -5,6 +5,7 @@ pure-torch dual-quaternion library), run both implementations on the same
 inputs and compare — the bit-compat requirement of SURVEY §7 checked at
 the math-kernel level.
 """
+import os
 import sys
 
 import numpy as np
@@ -14,6 +15,8 @@ import pytest
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference/nnutils"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not mounted")
 
 
 def load_ref_dualquat():
