@@ -95,16 +95,41 @@ def skinning_weights(
     """
     if bones.ndim == 2:
         bones = bones[None]
-    center, orient, scale = SE3.vec_to_sim3(bones)  # [bs,B,3],[bs,B,3,3],[bs,B,3]
-    # M_b = R diag(s) R^T (3x3 PSD per bone): M_il = sum_j O_ij s_j O_lj
-    M = jnp.einsum("bkij,bkj,bklj->bkil", orient, scale, orient)  # [bs,B,3,3]
-    Mc = jnp.einsum("bkil,bkl->bki", M, center)  # [bs,B,3]
-    cMc = jnp.einsum("bki,bki->bk", center, Mc)  # [bs,B]
+    # M_b = R diag(s) R^T (3x3 PSD per bone), built entirely from [bs,B]
+    # channel slices: [bs,B,3,3] rotation-matrix intermediates tile as
+    # (8,128) on the LAST TWO dims (3->8, 3->128: 171x padding, ~218 MB
+    # at the 2048-ray bundle) and cost ~3 ms/step in pure layout traffic.
+    q = bones[..., 3:7]
+    w, x, y, z = (q[..., i] for i in range(4))  # [bs,B]
+    ts = 2.0 / jnp.maximum((q * q).sum(-1), 1e-12)  # q_to_matrix normalizer
+    r00 = 1.0 - ts * (y * y + z * z)
+    r01 = ts * (x * y - z * w)
+    r02 = ts * (x * z + y * w)
+    r10 = ts * (x * y + z * w)
+    r11 = 1.0 - ts * (x * x + z * z)
+    r12 = ts * (y * z - x * w)
+    r20 = ts * (x * z - y * w)
+    r21 = ts * (y * z + x * w)
+    r22 = 1.0 - ts * (x * x + y * y)
+    s0 = jnp.exp(bones[..., 7])
+    s1 = jnp.exp(bones[..., 8])
+    s2 = jnp.exp(bones[..., 9])
+    # M_il = sum_j s_j R_ij R_lj (6 unique entries, symmetric)
+    m00 = s0 * r00 * r00 + s1 * r01 * r01 + s2 * r02 * r02
+    m11 = s0 * r10 * r10 + s1 * r11 * r11 + s2 * r12 * r12
+    m22 = s0 * r20 * r20 + s1 * r21 * r21 + s2 * r22 * r22
+    m01 = s0 * r00 * r10 + s1 * r01 * r11 + s2 * r02 * r12
+    m02 = s0 * r00 * r20 + s1 * r01 * r21 + s2 * r02 * r22
+    m12 = s0 * r10 * r20 + s1 * r11 * r21 + s2 * r12 * r22
+    c0, c1, c2 = (bones[..., i] for i in range(3))
+    mc0 = m00 * c0 + m01 * c1 + m02 * c2
+    mc1 = m01 * c0 + m11 * c1 + m12 * c2
+    mc2 = m02 * c0 + m12 * c1 + m22 * c2
+    cmc = c0 * mc0 + c1 * mc1 + c2 * mc2
     # bone coefficient rows: p^T M p - 2 p^T (Mc) + cMc
-    G = jnp.concatenate([
-        M[..., 0, 0:1], M[..., 1, 1:2], M[..., 2, 2:3],
-        2.0 * M[..., 0, 1:2], 2.0 * M[..., 0, 2:3], 2.0 * M[..., 1, 2:3],
-        -2.0 * Mc, cMc[..., None],
+    G = jnp.stack([
+        m00, m11, m22, 2.0 * m01, 2.0 * m02, 2.0 * m12,
+        -2.0 * mc0, -2.0 * mc1, -2.0 * mc2, cmc,
     ], -1)  # [bs,B,10]
     f = jnp.concatenate([
         pts * pts,

@@ -71,7 +71,8 @@ def _mm(a, b, cdt):
 class Arch:
     """Static kernel configuration (hashable; nondiff arg of fused_mlp)."""
 
-    def __init__(self, D, in_x, ct, cd, skips, S, need_dx=True):
+    def __init__(self, D, in_x, ct, cd, skips, S, need_dx=True,
+                 sigmoid=False):
         self.D = D            # trunk depth
         self.in_x = in_x      # per-point input width (embedded xyz [+extras])
         self.ct = ct          # per-ray trunk code width (0 = none)
@@ -79,10 +80,11 @@ class Arch:
         self.skips = tuple(skips)
         self.S = S            # samples per ray (1 = per-point inputs)
         self.need_dx = need_dx
+        self.sigmoid = sigmoid  # apply sigmoid to the rgb columns in-kernel
 
     def key(self):
         return (self.D, self.in_x, self.ct, self.cd, self.skips, self.S,
-                self.need_dx)
+                self.need_dx, self.sigmoid)
 
     def __hash__(self):
         return hash(self.key())
@@ -135,7 +137,13 @@ def _forward_block(x, ct_code, cd_code, ws, arch: Arch, cdt, want_acts=False):
     hd = jnp.maximum(_mm(hd_in, kdir, cdt) + bdir, 0.0)
     if want_acts:
         acts.append(hd.astype(cdt))
-    out = jnp.concatenate([_mm(hd, kout, cdt) + bout, sigma], -1)
+    rgb = _mm(hd, kout, cdt) + bout
+    if arch.sigmoid:
+        # sigmoid applied in-kernel: the XLA-side sigmoid+re-concat on the
+        # [N, out+1] result pads out+1 -> 128 lanes and costs ~1 ms/step
+        # of pure layout traffic at the recipe bundle
+        rgb = jax.nn.sigmoid(rgb)
+    out = jnp.concatenate([rgb, sigma], -1)
     return out, (acts if want_acts else None)
 
 
@@ -176,11 +184,14 @@ def _bwd_kernel(arch: Arch, cdt, nw, *refs):
         dcd_ref = outs[oi]; oi += 1
     dw_refs = outs[oi:]
 
-    _, acts = _forward_block(x, ct_code, cd_code, ws, arch, cdt,
-                             want_acts=True)
+    out_fb, acts = _forward_block(x, ct_code, cd_code, ws, arch, cdt,
+                                  want_acts=True)
     h_trunk, hd_in, hd = acts[D], acts[D + 1], acts[D + 2]
     out_ch = g.shape[1] - 1
     d_out = g[:, :out_ch]
+    if arch.sigmoid:
+        s = out_fb[:, :out_ch]  # forward recompute already applied sigmoid
+        d_out = d_out * s * (1.0 - s)
     d_sigma = g[:, out_ch:]
     tin = arch.in_x + arch.ct  # trunk input width
     BN = x.shape[0]
@@ -403,7 +414,8 @@ def nerf_mlp_pallas(params: dict, x: jnp.ndarray, *, D: int, in_xyz: int,
                     code_dir: Optional[jnp.ndarray] = None,
                     samples_per_ray: int = 1,
                     need_dx: bool = True,
-                    block_points: int = 2048, block_points_bwd: int = 768,
+                    block_points: Optional[int] = None,
+                    block_points_bwd: Optional[int] = None,
                     compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Drop-in for nets.NeRFMLP.apply on TPU (training hot path).
 
@@ -436,7 +448,26 @@ def nerf_mlp_pallas(params: dict, x: jnp.ndarray, *, D: int, in_xyz: int,
     assert x2.shape[-1] + ct == in_xyz, \
         f"x width {x2.shape[-1]} + code_trunk {ct} != in_channels_xyz {in_xyz}"
     assert cd == in_dir, f"code_dir width {cd} != in_channels_dir {in_dir}"
-    arch = Arch(D, x2.shape[-1], ct, cd, tuple(skips), S, need_dx=need_dx)
+    use_sigmoid = not raw_feat and not sigma_only
+    arch = Arch(D, x2.shape[-1], ct, cd, tuple(skips), S, need_dx=need_dx,
+                sigmoid=use_sigmoid)
+    # Block-size policy (swept on v5e, tools/bench_fused_mlp.py): narrow
+    # nets are sequencing-bound — every matmul pays a fixed issue cost, so
+    # fewer/larger blocks win — while wide nets are VMEM-bound in the
+    # backward (rematerialized activation stack): W>=256 fails to compile
+    # beyond 768 points/block. Backward blocks are powers of two so the
+    # per-block ray count divides the recipe's 2048 rays (a 768-pt block
+    # is 6 rays -> XLA pads rays 2048->2052 outside the kernel).
+    W = weights[0].shape[1]
+    if block_points is None:
+        block_points = 4096 if W <= 64 else 2048
+    if block_points_bwd is None:
+        if W >= 256:
+            block_points_bwd = 768
+        elif W > 64 or ct or cd:
+            block_points_bwd = 1024  # W=128 @ 2048 pts: 17.2M > 16M VMEM
+        else:
+            block_points_bwd = 2048
     npts = max(n, 1)
     bp = min(block_points, max(S, 256, 1 << (npts - 1).bit_length()))
     BR = max(1, bp // S)
@@ -446,9 +477,6 @@ def nerf_mlp_pallas(params: dict, x: jnp.ndarray, *, D: int, in_xyz: int,
     out_ch = weights[-2].shape[1]
     if sigma_only:
         return out[:, out_ch:].reshape(lead + (1,))
-    rgb = out[:, :out_ch]
-    sigma = out[:, out_ch:]
     if raw_feat:
-        return rgb.reshape(lead + (out_ch,))
-    rgb = jax.nn.sigmoid(rgb)
-    return jnp.concatenate([rgb, sigma], -1).reshape(lead + (out_ch + 1,))
+        return out[:, :out_ch].reshape(lead + (out_ch,))
+    return out.reshape(lead + (out_ch + 1,))

@@ -470,12 +470,16 @@ def visibility_loss(model, params, xyz_pos, w_pos, bound, key, alpha=None):
     # ~2000x too weakly — eval/extraction culling then removed real geometry.
     xyz_neg = jax.random.uniform(key, (R, S, 3), minval=-1.0, maxval=1.0) * bound[None, None, :]
     # need_dx=False: both inputs are stop-gradiented — only nerf_vis params
-    # receive gradients, so the kernel skips the input-grad pass
-    vis_neg = model.apply_vis(params, model.embed_xyz(xyz_neg, alpha),
-                              need_dx=False)[..., 0]
+    # receive gradients, so the kernel skips the input-grad pass. The neg
+    # and pos point sets go through ONE batched MLP call: two separate
+    # W=64 kernel launches are sequencing-bound (the per-matmul issue tax
+    # dominates at this width), so halving the launch count is ~free time.
+    vis_both = model.apply_vis(
+        params,
+        model.embed_xyz(jnp.concatenate([xyz_neg, xyz_pos], 0), alpha),
+        need_dx=False)[..., 0]
+    vis_neg, vis_pos = vis_both[:R], vis_both[R:]
     vis_loss_neg = -jax.nn.log_sigmoid(-vis_neg).sum(-1) * 0.1 / S
-    vis_pos = model.apply_vis(params, model.embed_xyz(xyz_pos, alpha),
-                              need_dx=False)[..., 0]
     vis_loss_pos = -(jax.nn.log_sigmoid(vis_pos) * w_pos).sum(-1) / S
     return vis_loss_pos + vis_loss_neg
 
