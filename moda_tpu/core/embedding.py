@@ -28,6 +28,28 @@ def _freqs(n_freqs: int, logscale: bool) -> np.ndarray:
     return np.linspace(1.0, 2.0 ** (n_freqs - 1), n_freqs, dtype=np.float32)
 
 
+def scatter_matrix(in_channels: int, n_freqs: int, logscale: bool = True) -> np.ndarray:
+    """[C, F*2*C] constant with W[c, j*2C + s*C + c] = f_j: one matmul maps
+    raw x to the (freq, sin/cos-slot, channel)-flat xf layout. Shared by
+    the XLA embed below and the in-kernel embed of ops/fused_mlp."""
+    C, F = in_channels, n_freqs
+    freqs = _freqs(n_freqs, logscale)
+    W = np.zeros((C, F * 2 * C), np.float32)
+    j, s, c = np.meshgrid(np.arange(F), np.arange(2), np.arange(C), indexing="ij")
+    W[c.ravel(), (j * 2 * C + s * C + c).ravel()] = freqs[j.ravel()]
+    return W
+
+
+def window_vec(n_freqs: int, in_channels: int, alpha) -> jnp.ndarray | None:
+    """Coarse-to-fine window as a flat [1, F*2*C] vector (None if alpha is
+    None), multiplying the sin/cos block of the embedding."""
+    if alpha is None:
+        return None
+    window = jnp.clip(alpha - jnp.arange(n_freqs, dtype=jnp.float32), 0.0, 1.0)
+    window = 0.5 * (1.0 + jnp.cos(jnp.pi * window + jnp.pi))
+    return jnp.repeat(window, 2 * in_channels).reshape(1, -1)
+
+
 def positional_embed(
     x: jnp.ndarray, n_freqs: int, alpha: jnp.ndarray | float | None = None, logscale: bool = True
 ) -> jnp.ndarray:
@@ -49,22 +71,17 @@ def positional_embed(
         return x
     C = x.shape[-1]
     F = n_freqs
-    freqs = _freqs(n_freqs, logscale)
-
-    # W[c, j*2C + s*C + c] = f_j  (the reference's [F,2,C] -> flat order)
-    W = np.zeros((C, F * 2 * C), np.float32)
+    W = scatter_matrix(C, n_freqs, logscale)
     j, s, c = np.meshgrid(np.arange(F), np.arange(2), np.arange(C), indexing="ij")
-    W[c.ravel(), (j * 2 * C + s * C + c).ravel()] = freqs[j.ravel()]
     is_sin = (s.ravel() == 0)
 
     xf = jax.lax.dot_general(x, jnp.asarray(W), (((x.ndim - 1,), (0,)), ((), ())),
                              precision=jax.lax.Precision.HIGHEST)
     out = jnp.where(jnp.asarray(is_sin), jnp.sin(xf), jnp.cos(xf))
 
-    if alpha is not None:
-        window = jnp.clip(alpha - jnp.arange(n_freqs, dtype=x.dtype), 0.0, 1.0)
-        window = 0.5 * (1.0 + jnp.cos(jnp.pi * window + jnp.pi))
-        out = out * jnp.repeat(window, 2 * C)
+    win = window_vec(n_freqs, C, alpha)
+    if win is not None:
+        out = out * win.reshape(-1)
 
     return jnp.concatenate([x, out], axis=-1)
 

@@ -230,26 +230,38 @@ class MoDAModel:
 
     def _apply_mlp(self, mod: nets.NeRFMLP, p, x: jnp.ndarray,
                    sigma_only: bool = False, code_trunk=None, code_dir=None,
-                   need_dx: bool = True):
+                   need_dx: bool = True, embed_raw: bool = False,
+                   embed_alpha=None):
         """Route an NeRFMLP through the fused Pallas kernel on TPU
         (training hot path) or the flax module elsewhere.
 
         code_trunk/code_dir: per-ray codes [R, c] for [R, S, C]-shaped x —
         broadcast + concatenated inside the kernel (HBM never sees the
-        widened input). sigma_only stays on flax: those call sites pass
+        widened input). embed_raw: x is RAW [..., 3] points and the
+        NUM_FREQS positional embed runs inside the kernel too (the XLA
+        embed chain materializes minor-dim-3/60 arrays that pad to 128
+        lanes). sigma_only stays on flax: those call sites pass
         trunk-width inputs and the eikonal loss needs grad-of-grad, which
         a custom_vjp kernel cannot provide (losses.py:40-70)."""
         if self.cfg.use_pallas and not sigma_only \
                 and jax.default_backend() == "tpu":
+            from moda_tpu.core.embedding import window_vec
             from moda_tpu.ops.fused_mlp import nerf_mlp_pallas
             S = x.shape[1] if (x.ndim == 3 and
                                (code_trunk is not None or code_dir is not None)) else 1
+            ef, ew = 0, None
+            if embed_raw:
+                ef = NUM_FREQS
+                ew = window_vec(NUM_FREQS, x.shape[-1], embed_alpha)
             return nerf_mlp_pallas(
                 p, x, D=mod.D, in_xyz=mod.in_channels_xyz,
                 in_dir=mod.in_channels_dir, skips=tuple(mod.skips),
                 raw_feat=mod.raw_feat, sigma_only=sigma_only,
                 code_trunk=code_trunk, code_dir=code_dir,
-                samples_per_ray=S, need_dx=need_dx)
+                samples_per_ray=S, need_dx=need_dx,
+                embed_freqs=ef, embed_window=ew)
+        if embed_raw:
+            x = positional_embed(x, NUM_FREQS, alpha=embed_alpha)
         # flax fallback: rebuild the reference's concatenated layout
         if code_trunk is not None:
             cb = jnp.broadcast_to(code_trunk[:, None, :],
@@ -262,16 +274,21 @@ class MoDAModel:
         return mod.apply({"params": p}, x, sigma_only=sigma_only)
 
     def apply_coarse(self, params: Params, x: jnp.ndarray, sigma_only: bool = False,
-                     code_dir=None):
+                     code_dir=None, embed_raw: bool = False, embed_alpha=None):
         return self._apply_mlp(self.nerf_coarse, params["nerf_coarse"], x,
-                               sigma_only=sigma_only, code_dir=code_dir)
+                               sigma_only=sigma_only, code_dir=code_dir,
+                               embed_raw=embed_raw, embed_alpha=embed_alpha)
 
-    def apply_feat(self, params: Params, xyz_e: jnp.ndarray):
-        return self._apply_mlp(self.nerf_feat, params["nerf_feat"], xyz_e)
+    def apply_feat(self, params: Params, xyz_e: jnp.ndarray,
+                   embed_raw: bool = False, embed_alpha=None):
+        return self._apply_mlp(self.nerf_feat, params["nerf_feat"], xyz_e,
+                               embed_raw=embed_raw, embed_alpha=embed_alpha)
 
-    def apply_vis(self, params: Params, xyz_e: jnp.ndarray, need_dx: bool = True):
+    def apply_vis(self, params: Params, xyz_e: jnp.ndarray, need_dx: bool = True,
+                  embed_raw: bool = False, embed_alpha=None):
         return self._apply_mlp(self.nerf_vis, params["nerf_vis"], xyz_e,
-                               need_dx=need_dx)
+                               need_dx=need_dx, embed_raw=embed_raw,
+                               embed_alpha=embed_alpha)
 
     def apply_unc(self, params: Params, xyt_code: jnp.ndarray):
         return self._apply_mlp(self.nerf_unc, params["nerf_unc"], xyt_code)
@@ -281,13 +298,17 @@ class MoDAModel:
         trainable ft_cse net, nnutils/cse.py:20-78 equivalent)."""
         return self.csenet.apply({"params": params["csenet"]}, imgs)
 
-    def apply_skin(self, params: Params, x: jnp.ndarray, code_trunk=None):
+    def apply_skin(self, params: Params, x: jnp.ndarray, code_trunk=None,
+                   embed_raw: bool = False, embed_alpha=None):
         return self._apply_mlp(self.nerf_skin, params["nerf_skin"], x,
-                               code_trunk=code_trunk)
+                               code_trunk=code_trunk, embed_raw=embed_raw,
+                               embed_alpha=embed_alpha)
 
-    def apply_dis(self, params: Params, x: jnp.ndarray, code_trunk=None):
+    def apply_dis(self, params: Params, x: jnp.ndarray, code_trunk=None,
+                  embed_raw: bool = False, embed_alpha=None):
         return self._apply_mlp(self.nerf_dis, params["nerf_dis"], x,
-                               code_trunk=code_trunk)
+                               code_trunk=code_trunk, embed_raw=embed_raw,
+                               embed_alpha=embed_alpha)
 
     def apply_pose_code(self, params: Params, fid: jnp.ndarray):
         return self.pose_code.apply({"params": params["pose_code"]}, fid)

@@ -72,7 +72,7 @@ class Arch:
     """Static kernel configuration (hashable; nondiff arg of fused_mlp)."""
 
     def __init__(self, D, in_x, ct, cd, skips, S, need_dx=True,
-                 sigmoid=False):
+                 sigmoid=False, emb=None, drop_sigma=False):
         self.D = D            # trunk depth
         self.in_x = in_x      # per-point input width (embedded xyz [+extras])
         self.ct = ct          # per-ray trunk code width (0 = none)
@@ -81,10 +81,29 @@ class Arch:
         self.S = S            # samples per ray (1 = per-point inputs)
         self.need_dx = need_dx
         self.sigmoid = sigmoid  # apply sigmoid to the rgb columns in-kernel
+        # raw_feat call sites use only the rgb head: not emitting sigma
+        # saves the head matmuls AND the XLA-side [N, :out] slice of the
+        # result (a ~3 ms/step layout copy at the recipe bundle)
+        self.drop_sigma = drop_sigma
+        # emb = (C, F, logscale): x arrives RAW [N, C] and the positional
+        # embedding to in_x = C*(2F+1) runs inside the kernel. The XLA-side
+        # embed chain (scatter-matmul, sin/cos, window, concat + their
+        # backward) materializes [N, 2FC]/[N, C] arrays whose minor dims
+        # pad to 128 lanes — ~5.6 ms/step of layout traffic at the recipe
+        # bundle across the step's embed call sites.
+        self.emb = emb
+
+    @property
+    def emb_C(self):
+        return self.emb[0] if self.emb else 0
+
+    @property
+    def emb_F(self):
+        return self.emb[1] if self.emb else 0
 
     def key(self):
         return (self.D, self.in_x, self.ct, self.cd, self.skips, self.S,
-                self.need_dx, self.sigmoid)
+                self.need_dx, self.sigmoid, self.emb, self.drop_sigma)
 
     def __hash__(self):
         return hash(self.key())
@@ -97,10 +116,38 @@ def _bcast_code(code, BR, S, c):
     return jnp.broadcast_to(code[:, None, :], (BR, S, c)).reshape(BR * S, c)
 
 
-def _forward_block(x, ct_code, cd_code, ws, arch: Arch, cdt, want_acts=False):
+def _mm_f32(a, b):
+    # full-precision matmul: the embed frequencies reach 2^(F-1); sin/cos
+    # arguments lose all phase information in bf16
+    return jax.lax.dot_general(a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _embed_block(x, wemb, win, arch: Arch):
+    """In-kernel positional embed: raw [BN, C] -> ([BN, C*(2F+1)], xf, trig).
+
+    Matches core.embedding.positional_embed bit-for-bit: xf via the same
+    one-nonzero-per-column scatter matmul in f32, sin/cos slot select,
+    window multiply on the trig block only."""
+    C = arch.emb_C
+    xf = _mm_f32(x, wemb)
+    col = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
+    is_sin = ((col // C) % 2) == 0
+    trig = jnp.where(is_sin, jnp.sin(xf), jnp.cos(xf))
+    emb = trig * win if win is not None else trig
+    return jnp.concatenate([x, emb], -1), xf, trig
+
+
+def _forward_block(x, ct_code, cd_code, ws, arch: Arch, cdt, want_acts=False,
+                   wemb=None, win=None):
     """One [BN, in_x] block through the whole stack. ct_code/cd_code are
-    the block's per-ray codes ([BR, ct]/[BR, cd]) or None."""
+    the block's per-ray codes ([BR, ct]/[BR, cd]) or None. With arch.emb,
+    x is raw [BN, C] and embedded here; (xf, trig) are returned for the
+    backward when want_acts."""
     D, skips = arch.D, arch.skips
+    xf = trig = None
+    if arch.emb:
+        x, xf, trig = _embed_block(x, wemb, win, arch)
     BN = x.shape[0]
     BR = BN // arch.S
     if ct_code is not None:
@@ -125,7 +172,7 @@ def _forward_block(x, ct_code, cd_code, ws, arch: Arch, cdt, want_acts=False):
     kfin, bfin = ws[2 * D + 2], ws[2 * D + 3]
     kdir, bdir = ws[2 * D + 4], ws[2 * D + 5]
     kout, bout = ws[2 * D + 6], ws[2 * D + 7]
-    sigma = _mm(h, ksig, cdt) + bsig
+    sigma = None if arch.drop_sigma else _mm(h, ksig, cdt) + bsig
     h_final = _mm(h, kfin, cdt) + bfin
     if cd_code is not None:
         hd_in = jnp.concatenate(
@@ -138,61 +185,74 @@ def _forward_block(x, ct_code, cd_code, ws, arch: Arch, cdt, want_acts=False):
     if want_acts:
         acts.append(hd.astype(cdt))
     rgb = _mm(hd, kout, cdt) + bout
+    if arch.drop_sigma:
+        return rgb, (acts if want_acts else None), (xf, trig)
     if arch.sigmoid:
         # sigmoid applied in-kernel: the XLA-side sigmoid+re-concat on the
         # [N, out+1] result pads out+1 -> 128 lanes and costs ~1 ms/step
         # of pure layout traffic at the recipe bundle
         rgb = jax.nn.sigmoid(rgb)
     out = jnp.concatenate([rgb, sigma], -1)
-    return out, (acts if want_acts else None)
+    return out, (acts if want_acts else None), (xf, trig)
 
 
 def _fwd_kernel(arch: Arch, cdt, *refs):
     i = 0
     x = refs[i][:]; i += 1
-    ct_code = cd_code = None
+    ct_code = cd_code = wemb = win = None
     if arch.ct:
         ct_code = refs[i][:].reshape(-1, arch.ct); i += 1
     if arch.cd:
         cd_code = refs[i][:].reshape(-1, arch.cd); i += 1
+    if arch.emb:
+        wemb = refs[i][:]; i += 1
+        win = refs[i][:]; i += 1
     ws = [r[:] for r in refs[i:-1]]
-    out, _ = _forward_block(x, ct_code, cd_code, ws, arch, cdt)
+    out, _, _ = _forward_block(x, ct_code, cd_code, ws, arch, cdt,
+                               wemb=wemb, win=win)
     refs[-1][:] = out
 
 
 def _bwd_kernel(arch: Arch, cdt, nw, *refs):
-    """inputs: x, [ct], [cd], g, w*  outputs: [dx], [dct], [dcd], dw*"""
+    """inputs: x, [ct], [cd], [wemb, win], g, w*
+    outputs: [dx], [dct], [dcd], [dwin], dw*"""
     D, skips = arch.D, arch.skips
     i = 0
     x = refs[i][:]; i += 1
-    ct_code = cd_code = None
+    ct_code = cd_code = wemb = win = None
     if arch.ct:
         ct_code = refs[i][:].reshape(-1, arch.ct); i += 1
     if arch.cd:
         cd_code = refs[i][:].reshape(-1, arch.cd); i += 1
+    if arch.emb:
+        wemb = refs[i][:]; i += 1
+        win = refs[i][:]; i += 1
     g = refs[i][:]; i += 1
     ws = [r[:] for r in refs[i:i + nw]]
     i += nw
     outs = refs[i:]
     oi = 0
-    dx_ref = dct_ref = dcd_ref = None
+    dx_ref = dct_ref = dcd_ref = dwin_ref = None
     if arch.need_dx:
         dx_ref = outs[oi]; oi += 1
     if arch.ct:
         dct_ref = outs[oi]; oi += 1
     if arch.cd:
         dcd_ref = outs[oi]; oi += 1
+    if arch.emb:
+        dwin_ref = outs[oi]; oi += 1
     dw_refs = outs[oi:]
 
-    out_fb, acts = _forward_block(x, ct_code, cd_code, ws, arch, cdt,
-                                  want_acts=True)
+    out_fb, acts, (xf, trig) = _forward_block(
+        x, ct_code, cd_code, ws, arch, cdt, want_acts=True,
+        wemb=wemb, win=win)
     h_trunk, hd_in, hd = acts[D], acts[D + 1], acts[D + 2]
-    out_ch = g.shape[1] - 1
+    out_ch = g.shape[1] - (0 if arch.drop_sigma else 1)
     d_out = g[:, :out_ch]
     if arch.sigmoid:
         s = out_fb[:, :out_ch]  # forward recompute already applied sigmoid
         d_out = d_out * s * (1.0 - s)
-    d_sigma = g[:, out_ch:]
+    d_sigma = None if arch.drop_sigma else g[:, out_ch:]
     tin = arch.in_x + arch.ct  # trunk input width
     BN = x.shape[0]
     BR = BN // arch.S
@@ -226,9 +286,14 @@ def _bwd_kernel(arch: Arch, cdt, nw, *refs):
             BR, arch.S, arch.cd).sum(1, keepdims=True)
     dws[2 * D + 2] = mmT_nt(h_trunk, d_h_final)
     dws[2 * D + 3] = d_h_final.sum(0, keepdims=True)
-    dws[2 * D] = mmT_nt(h_trunk, d_sigma)
-    dws[2 * D + 1] = d_sigma.sum(0, keepdims=True)
-    d_h = mm_nt(d_h_final, ws[2 * D + 2]) + mm_nt(d_sigma, ws[2 * D])
+    if arch.drop_sigma:
+        dws[2 * D] = jnp.zeros(ws[2 * D].shape, jnp.float32)
+        dws[2 * D + 1] = jnp.zeros(ws[2 * D + 1].shape, jnp.float32)
+        d_h = mm_nt(d_h_final, ws[2 * D + 2])
+    else:
+        dws[2 * D] = mmT_nt(h_trunk, d_sigma)
+        dws[2 * D + 1] = d_sigma.sum(0, keepdims=True)
+        d_h = mm_nt(d_h_final, ws[2 * D + 2]) + mm_nt(d_sigma, ws[2 * D])
 
     d_t = jnp.zeros((BN, tin), jnp.float32)
     for i2 in range(D - 1, -1, -1):
@@ -247,13 +312,37 @@ def _bwd_kernel(arch: Arch, cdt, nw, *refs):
             d_h = d_in
     d_t = d_t + d_h
 
-    if dx_ref is not None:
+    dwin = None
+    if arch.emb:
+        C = arch.emb_C
+        d_emb = d_t[:, C:arch.in_x]
+        if dwin_ref is not None:
+            dwin = (d_emb * trig).sum(0, keepdims=True)
+        col = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
+        is_sin = ((col // C) % 2) == 0
+        dtrig = jnp.where(is_sin, jnp.cos(xf), -jnp.sin(xf))
+        d_xf = d_emb * dtrig if win is None else d_emb * win * dtrig
+        if dx_ref is not None:
+            dx_ref[:] = d_t[:, :C] + jax.lax.dot_general(
+                d_xf, wemb, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    elif dx_ref is not None:
         dx_ref[:] = d_t[:, :arch.in_x]
     if dct_ref is not None:
         dct_ref[:] = d_t[:, arch.in_x:].reshape(
             BR, arch.S, arch.ct).sum(1, keepdims=True)
 
     first = pl.program_id(0) == 0
+    if dwin_ref is not None:
+
+        @pl.when(first)
+        def _():
+            dwin_ref[:] = dwin
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dwin_ref[:] = dwin_ref[:] + dwin
+
     for r, dw in zip(dw_refs, dws):
         v = dw.reshape(r.shape)
 
@@ -288,19 +377,33 @@ def _cast_kernels(weights, cdt):
             for i, w in enumerate(weights)]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def fused_mlp(x, ct_code, cd_code, weights, arch, block_rays, block_rays_bwd,
-              cdt):
-    out, _ = _fused_mlp_fwd(x, ct_code, cd_code, weights, arch, block_rays,
-                            block_rays_bwd, cdt)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_mlp(x, ct_code, cd_code, win, weights, arch, block_rays,
+              block_rays_bwd, cdt):
+    out, _ = _fused_mlp_fwd(x, ct_code, cd_code, win, weights, arch,
+                            block_rays, block_rays_bwd, cdt)
     return out
 
 
-def _call_fwd(x, ct_code, cd_code, weights, arch: Arch, BR, cdt):
+def _emb_operands(arch: Arch, win):
+    """(specs, args) for the in-kernel embed: the [C, 2FC] scatter matrix
+    and the [1, 2FC] window (always concrete — ones when unwindowed)."""
+    from moda_tpu.core import embedding as EMB
+    C, F, logscale = arch.emb
+    wemb = jnp.asarray(EMB.scatter_matrix(C, F, logscale))
+    specs = [
+        pl.BlockSpec(wemb.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, F * 2 * C), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return specs, [wemb, win]
+
+
+def _call_fwd(x, ct_code, cd_code, win, weights, arch: Arch, BR, cdt):
     S = arch.S
     xp, n = _pad_rows(x, BR * S)
     N = xp.shape[0]
-    out_dim = weights[-2].shape[1] + 1
+    out_dim = weights[-2].shape[1] + (0 if arch.drop_sigma else 1)
     grid = (N // (BR * S),)
     in_specs = [pl.BlockSpec((BR * S, x.shape[1]), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
@@ -317,6 +420,10 @@ def _call_fwd(x, ct_code, cd_code, weights, arch: Arch, BR, cdt):
         in_specs.append(pl.BlockSpec((BR, 1, arch.cd), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(c.reshape(-1, 1, arch.cd))
+    if arch.emb:
+        especs, eargs = _emb_operands(arch, win)
+        in_specs += especs
+        args += eargs
     in_specs += _w_specs(weights)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, arch, cdt),
@@ -330,14 +437,14 @@ def _call_fwd(x, ct_code, cd_code, weights, arch: Arch, BR, cdt):
     return out[:n]
 
 
-def _fused_mlp_fwd(x, ct_code, cd_code, weights, arch, block_rays,
+def _fused_mlp_fwd(x, ct_code, cd_code, win, weights, arch, block_rays,
                    block_rays_bwd, cdt):
-    out = _call_fwd(x, ct_code, cd_code, weights, arch, block_rays, cdt)
-    return out, (x, ct_code, cd_code, weights)
+    out = _call_fwd(x, ct_code, cd_code, win, weights, arch, block_rays, cdt)
+    return out, (x, ct_code, cd_code, win, weights)
 
 
 def _fused_mlp_bwd(arch: Arch, block_rays, block_rays_bwd, cdt, res, g):
-    x, ct_code, cd_code, weights = res
+    x, ct_code, cd_code, win, weights = res
     BR = block_rays_bwd
     S = arch.S
     xp, n = _pad_rows(x, BR * S)
@@ -360,6 +467,10 @@ def _fused_mlp_bwd(arch: Arch, block_rays, block_rays_bwd, cdt, res, g):
         in_specs.append(pl.BlockSpec((BR, 1, arch.cd), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(c.reshape(-1, 1, arch.cd))
+    if arch.emb:
+        especs, eargs = _emb_operands(arch, win)
+        in_specs += especs
+        args += eargs
     in_specs.append(pl.BlockSpec((BR * S, g.shape[1]), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM))
     args.append(gp)
@@ -378,6 +489,11 @@ def _fused_mlp_bwd(arch: Arch, block_rays, block_rays_bwd, cdt, res, g):
         out_shapes.append(jax.ShapeDtypeStruct((R, 1, arch.cd), jnp.float32))
         out_specs.append(pl.BlockSpec((BR, 1, arch.cd), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
+    if arch.emb:
+        FC2 = arch.emb_F * 2 * arch.emb_C
+        out_shapes.append(jax.ShapeDtypeStruct((1, FC2), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, FC2), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
     out_shapes += [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
     out_specs += _w_specs(weights)
 
@@ -395,13 +511,15 @@ def _fused_mlp_bwd(arch: Arch, block_rays, block_rays_bwd, cdt, res, g):
         dx = outs[oi][:n]; oi += 1
     else:
         dx = jnp.zeros_like(x)
-    dct = dcd = None
+    dct = dcd = dwin = None
     if arch.ct:
         dct = outs[oi].reshape(-1, arch.ct)[:ct_code.shape[0]]; oi += 1
     if arch.cd:
         dcd = outs[oi].reshape(-1, arch.cd)[:cd_code.shape[0]]; oi += 1
+    if arch.emb:
+        dwin = outs[oi]; oi += 1
     dws = tuple(outs[oi:])
-    return dx, dct, dcd, dws
+    return dx, dct, dcd, dwin, dws
 
 
 fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
@@ -416,6 +534,8 @@ def nerf_mlp_pallas(params: dict, x: jnp.ndarray, *, D: int, in_xyz: int,
                     need_dx: bool = True,
                     block_points: Optional[int] = None,
                     block_points_bwd: Optional[int] = None,
+                    embed_freqs: int = 0, embed_logscale: bool = True,
+                    embed_window: Optional[jnp.ndarray] = None,
                     compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Drop-in for nets.NeRFMLP.apply on TPU (training hot path).
 
@@ -445,12 +565,27 @@ def nerf_mlp_pallas(params: dict, x: jnp.ndarray, *, D: int, in_xyz: int,
         code_dir = x2[:, in_xyz:in_xyz + in_dir]
         x2 = x2[:, :in_xyz]
         cd = in_dir
-    assert x2.shape[-1] + ct == in_xyz, \
-        f"x width {x2.shape[-1]} + code_trunk {ct} != in_channels_xyz {in_xyz}"
+    emb = None
+    win = None
+    if embed_freqs > 0:
+        # x arrives RAW [.., C]; the positional embed to C*(2F+1) channels
+        # runs inside the kernel (dx comes back [.., C] directly)
+        C = x2.shape[-1]
+        in_x = C * (2 * embed_freqs + 1)
+        emb = (C, embed_freqs, embed_logscale)
+        if embed_window is None:
+            win = jnp.ones((1, embed_freqs * 2 * C), jnp.float32)
+        else:
+            win = embed_window.reshape(1, -1).astype(jnp.float32)
+    else:
+        in_x = x2.shape[-1]
+    assert in_x + ct == in_xyz, \
+        f"x width {in_x} + code_trunk {ct} != in_channels_xyz {in_xyz}"
     assert cd == in_dir, f"code_dir width {cd} != in_channels_dir {in_dir}"
     use_sigmoid = not raw_feat and not sigma_only
-    arch = Arch(D, x2.shape[-1], ct, cd, tuple(skips), S, need_dx=need_dx,
-                sigmoid=use_sigmoid)
+    drop_sigma = raw_feat and not sigma_only
+    arch = Arch(D, in_x, ct, cd, tuple(skips), S, need_dx=need_dx,
+                sigmoid=use_sigmoid, emb=emb, drop_sigma=drop_sigma)
     # Block-size policy (swept on v5e, tools/bench_fused_mlp.py): narrow
     # nets are sequencing-bound — every matmul pays a fixed issue cost, so
     # fewer/larger blocks win — while wide nets are VMEM-bound in the
@@ -472,11 +607,11 @@ def nerf_mlp_pallas(params: dict, x: jnp.ndarray, *, D: int, in_xyz: int,
     bp = min(block_points, max(S, 256, 1 << (npts - 1).bit_length()))
     BR = max(1, bp // S)
     BRb = max(1, min(block_points_bwd, bp) // S)
-    out = fused_mlp(x2, code_trunk, code_dir, weights, arch, BR, BRb,
+    out = fused_mlp(x2, code_trunk, code_dir, win, weights, arch, BR, BRb,
                     compute_dtype)
     out_ch = weights[-2].shape[1]
     if sigma_only:
         return out[:, out_ch:].reshape(lead + (1,))
     if raw_feat:
-        return out[:, :out_ch].reshape(lead + (out_ch,))
+        return out.reshape(lead + (out_ch,))  # kernel emitted rgb only
     return out.reshape(lead + (out_ch + 1,))

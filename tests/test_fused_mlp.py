@@ -161,3 +161,71 @@ def test_fused_per_ray_codes_match_flax():
     g2 = jax.grad(loss_codes_ref, argnums=(0, 1))(ctc, cdc)
     np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=2e-4)
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-4)
+
+
+def test_fused_in_kernel_embed_matches_flax():
+    """embed_raw path: raw [R,S,3] points + in-kernel positional embed
+    (with coarse-to-fine window) must equal positional_embed + flax, in
+    value and in gradients wrt the RAW points, codes, and weights."""
+    from moda_tpu.core.embedding import positional_embed, window_vec
+
+    D, W, out_ch = 5, 64, 4
+    R, S, ct, F = 4, 8, 16, 10
+    in_xyz, in_dir = 63 + ct, 0
+    mod = NeRFMLP(D=D, W=W, in_channels_xyz=in_xyz, in_channels_dir=in_dir,
+                  out_channels=out_ch, raw_feat=True)
+    key = jax.random.key(21)
+    xyz = jax.random.normal(jax.random.key(22), (R, S, 3))
+    ctc = jax.random.normal(jax.random.key(23), (R, ct))
+    alpha = jnp.asarray(4.3)
+
+    def full_input(xyz, alpha):
+        xe = positional_embed(xyz, F, alpha=alpha)
+        return jnp.concatenate(
+            [xe, jnp.broadcast_to(ctc[:, None], (R, S, ct))], -1)
+
+    params = mod.init(key, full_input(xyz, alpha).reshape(-1, in_xyz))["params"]
+
+    def loss_ref(params, xyz, alpha):
+        return (mod.apply({"params": params}, full_input(xyz, alpha)) ** 2).sum()
+
+    def loss_fused(params, xyz, alpha):
+        out = FM.nerf_mlp_pallas(
+            params, xyz, D=D, in_xyz=in_xyz, in_dir=in_dir, raw_feat=True,
+            code_trunk=ctc, samples_per_ray=S,
+            embed_freqs=F, embed_window=window_vec(F, 3, alpha),
+            block_points=16, block_points_bwd=16,
+            compute_dtype=jnp.float32)
+        return (out ** 2).sum()
+
+    np.testing.assert_allclose(float(loss_fused(params, xyz, alpha)),
+                               float(loss_ref(params, xyz, alpha)), rtol=1e-5)
+    gr_p, gr_x, gr_a = jax.grad(loss_ref, argnums=(0, 1, 2))(params, xyz, alpha)
+    gf_p, gf_x, gf_a = jax.grad(loss_fused, argnums=(0, 1, 2))(params, xyz, alpha)
+    np.testing.assert_allclose(np.asarray(gf_x), np.asarray(gr_x),
+                               atol=1e-4, rtol=1e-4)
+    # alpha grad flows through the window vector (d_win accumulated in-kernel)
+    np.testing.assert_allclose(float(gf_a), float(gr_a), rtol=1e-4)
+    gf_flat = {jax.tree_util.keystr(k): v for k, v in
+               jax.tree_util.tree_leaves_with_path(gf_p)}
+    for k, vr in jax.tree_util.tree_leaves_with_path(gr_p):
+        np.testing.assert_allclose(
+            np.asarray(gf_flat[jax.tree_util.keystr(k)]), np.asarray(vr),
+            atol=1e-4, err_msg=jax.tree_util.keystr(k))
+
+
+def test_fused_in_kernel_embed_no_window():
+    """embed_raw without a window (alpha=None -> ones) matches flax."""
+    D, W, out_ch, F = 5, 64, 8, 10
+    from moda_tpu.core.embedding import positional_embed
+    mod = NeRFMLP(D=D, W=W, in_channels_xyz=63, in_channels_dir=0,
+                  out_channels=out_ch, raw_feat=True)
+    xyz = jax.random.normal(jax.random.key(31), (40, 3))
+    params = mod.init(jax.random.key(30), positional_embed(xyz, F))["params"]
+    ref = mod.apply({"params": params}, positional_embed(xyz, F))
+    got = FM.nerf_mlp_pallas(params, xyz, D=D, in_xyz=63, in_dir=0,
+                             raw_feat=True, embed_freqs=F,
+                             block_points=8, block_points_bwd=8,
+                             compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
