@@ -51,6 +51,7 @@ def aggregate_perfetto(path: str, min_ms: float = 0.05):
     op_tids = device_tids("XLA Ops") or device_tids("Ops")
     mod_tids = device_tids("XLA Modules") or device_tids("Modules")
     per_op = collections.Counter()
+    per_src = collections.Counter()
     total = module_total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -67,8 +68,19 @@ def aggregate_perfetto(path: str, min_ms: float = 0.05):
             if "TPU" not in pn and "/device" not in pn.lower():
                 continue
         per_op[e.get("name", "?")] += dur
+        # source attribution: first repo-local frame of the source stack
+        # (fusions inherit one representative op's stack — approximate but
+        # far more actionable than HLO names)
+        a = e.get("args") or {}
+        src = ""
+        for ln in (a.get("source_stack") or a.get("source") or "").split("\n"):
+            if "/moda_tpu/" in ln or "/repo/" in ln:
+                src = ln.strip()
+                break
+        cat = a.get("hlo_category", "?")
+        per_src[(src or a.get("source", "?"), cat)] += dur
         total += dur
-    return per_op, total, module_total
+    return per_op, per_src, total, module_total
 
 
 def main():
@@ -106,7 +118,7 @@ def main():
         print("no perfetto trace found under", args.trace_dir)
         print(os.popen(f"find {args.trace_dir} -type f | head -20").read())
         return
-    per_op, total, module_total = aggregate_perfetto(traces[-1])
+    per_op, per_src, total, module_total = aggregate_perfetto(traces[-1])
     per_step = total / max(args.steps, 1)
     print(f"trace: {traces[-1]}")
     print(f"op-track device time: {total:.1f} ms over {args.steps} steps "
@@ -115,6 +127,10 @@ def main():
     print(f"{'ms/step':>9}  {'%':>5}  op")
     for name, ms in per_op.most_common(args.top):
         print(f"{ms / args.steps:9.3f}  {100 * ms / total:5.1f}  {name[:110]}")
+    print(f"\n{'ms/step':>9}  {'%':>5}  source (first repo frame) | category")
+    for (src, cat), ms in per_src.most_common(args.top):
+        print(f"{ms / args.steps:9.3f}  {100 * ms / total:5.1f}  "
+              f"{src[:90]} | {cat}")
 
 
 if __name__ == "__main__":
