@@ -264,8 +264,9 @@ class MoDAModel:
             x = positional_embed(x, NUM_FREQS, alpha=embed_alpha)
         # flax fallback: rebuild the reference's concatenated layout
         if code_trunk is not None:
-            cb = jnp.broadcast_to(code_trunk[:, None, :],
-                                  x.shape[:-1] + (code_trunk.shape[-1],))
+            cb = (code_trunk if x.ndim == code_trunk.ndim else
+                  jnp.broadcast_to(code_trunk[:, None, :],
+                                   x.shape[:-1] + (code_trunk.shape[-1],)))
             x = jnp.concatenate([x, cb], -1)
         if code_dir is not None:
             cb = jnp.broadcast_to(code_dir[:, None, :],
@@ -280,8 +281,10 @@ class MoDAModel:
                                embed_raw=embed_raw, embed_alpha=embed_alpha)
 
     def apply_feat(self, params: Params, xyz_e: jnp.ndarray,
+                   need_dx: bool = True,
                    embed_raw: bool = False, embed_alpha=None):
         return self._apply_mlp(self.nerf_feat, params["nerf_feat"], xyz_e,
+                               need_dx=need_dx,
                                embed_raw=embed_raw, embed_alpha=embed_alpha)
 
     def apply_vis(self, params: Params, xyz_e: jnp.ndarray, need_dx: bool = True,
@@ -290,8 +293,11 @@ class MoDAModel:
                                need_dx=need_dx, embed_raw=embed_raw,
                                embed_alpha=embed_alpha)
 
-    def apply_unc(self, params: Params, xyt_code: jnp.ndarray):
-        return self._apply_mlp(self.nerf_unc, params["nerf_unc"], xyt_code)
+    def apply_unc(self, params: Params, xyt_code: jnp.ndarray, code_trunk=None,
+                  embed_raw: bool = False, embed_alpha=None):
+        return self._apply_mlp(self.nerf_unc, params["nerf_unc"], xyt_code,
+                               code_trunk=code_trunk, embed_raw=embed_raw,
+                               embed_alpha=embed_alpha)
 
     def apply_csenet(self, params: Params, imgs: jnp.ndarray):
         """[N,H,W,3] crop images -> [N,H/2,W/2,16] unit embeddings (the

@@ -75,17 +75,19 @@ def _backward_warp(model, params, rays, xyz, time_embedded, alpha, use_dskin=Fal
     else:
         bones_dfm = SK.bone_transform_rts(bones_rst, bone_rts_fw)
 
-    # skinning weights in deformed space
+    # skinning weights in deformed space. embed_raw: the NUM_FREQS
+    # positional embed runs inside the fused kernel (the XLA embed chain
+    # is minor-dim-3 layout-bound — DESIGN.md §6c)
     dskin = None
     if cfg.nerf_skin and use_dskin:
-        xyz_e = model.embed_xyz(xyz, alpha)
-        dskin = model.apply_skin(params, xyz_e, code_trunk=time_embedded)
+        dskin = model.apply_skin(params, xyz, code_trunk=time_embedded,
+                                 embed_raw=True, embed_alpha=alpha)
     skin_bw = SK.skinning_weights(bones_dfm, xyz, dskin, skin_aux[0])
 
     dis = None
     if cfg.nerf_dis:
-        xyz_e = model.embed_xyz(xyz, alpha)
-        dis = model.apply_dis(params, xyz_e, code_trunk=time_embedded)
+        dis = model.apply_dis(params, xyz, code_trunk=time_embedded,
+                              embed_raw=True, embed_alpha=alpha)
 
     if cfg.neudbs:
         xyz_c, _ = SK.neu_dbs(bones_rst, bone_rts_fw, skin_bw, xyz, dis=dis, backward=True)
@@ -101,13 +103,13 @@ def _forward_warp(model, params, rays, xyz_c, bone_rts, rest_code, alpha, use_ds
     skin_aux = params["skin_aux"]
     dskin = None
     if cfg.nerf_skin and use_dskin:
-        xyz_e = model.embed_xyz(xyz_c, alpha)
-        dskin = model.apply_skin(params, xyz_e, code_trunk=rest_code)
+        dskin = model.apply_skin(params, xyz_c, code_trunk=rest_code,
+                                 embed_raw=True, embed_alpha=alpha)
 
     dis = None
     if cfg.nerf_dis:
-        xyz_e = model.embed_xyz(xyz_c, alpha)
-        dis = model.apply_dis(params, xyz_e, code_trunk=rest_code)
+        dis = model.apply_dis(params, xyz_c, code_trunk=rest_code,
+                              embed_raw=True, embed_alpha=alpha)
     skin_fw = SK.skinning_weights(bones_rst, xyz_c, dskin, skin_aux[0])
 
     if cfg.neudbs:
@@ -133,22 +135,23 @@ def _inference(model, params, rays, xyz, dir_, dir_embedded, z_vals, key, noise_
     """Evaluate the coarse/feat MLPs and composite (rendering.py:124-237)."""
     R, S = xyz.shape[0], xyz.shape[1]
     alpha = rays.get("embed_alpha", None)
-    xyz_e = model.embed_xyz(xyz, alpha)
     # per-ray dir-branch codes stay [R, cd]; broadcast over samples happens
     # inside the fused kernel (or in the flax fallback) — HBM never holds
-    # the widened [R, S, 63+cd] trunk input
+    # the widened [R, S, 63+cd] trunk input. embed_raw: the positional
+    # embed also runs in-kernel from the raw [R, S, 3] points
     code_dir_parts = [dir_embedded]
     if "env_code" in rays:
         code_dir_parts.append(rays["env_code"])
     if "appearance_code" in rays:
         code_dir_parts.append(rays["appearance_code"])
-    out = model.apply_coarse(params, xyz_e,
-                             code_dir=jnp.concatenate(code_dir_parts, -1))
+    out = model.apply_coarse(params, xyz,
+                             code_dir=jnp.concatenate(code_dir_parts, -1),
+                             embed_raw=True, embed_alpha=alpha)
     rgbs = out[..., :3]
     sigmas_raw = out[..., 3]
 
     if cfg.use_embed:
-        feat = model.apply_feat(params, xyz_e)
+        feat = model.apply_feat(params, xyz, embed_raw=True, embed_alpha=alpha)
     else:
         feat = jnp.zeros_like(rgbs)
 
@@ -198,8 +201,10 @@ def feat_match(model, params, feats, bound, grid_size, key, use_ot, is_training,
     if is_training and key is not None:
         grid = grid + jax.random.normal(key, grid.shape) * bound[None, :] * 0.05
 
-    grid_e = model.embed_xyz(grid, embed_alpha)
-    vol_feat = model.apply_feat(params, grid_e)  # [G^3,16]
+    # grid is parameter-free (linspace + noise): need_dx=False skips the
+    # input-grad matmul chain in the kernel backward
+    vol_feat = model.apply_feat(params, grid, need_dx=False,
+                                embed_raw=True, embed_alpha=embed_alpha)  # [G^3,16]
     vol_feat = vol_feat / jnp.maximum(jnp.linalg.norm(vol_feat, axis=-1, keepdims=True), 1e-9)
 
     cost = feats @ vol_feat.T  # [R, G^3] — MXU matmul
@@ -333,8 +338,9 @@ def inference_deform(model, params, mvars, rays, xyz_sampled, z_vals, key, cfg,
     vis_pred = None
     if render_vis:
         clip_bound = mvars.obj_bound
-        xyz_e = model.embed_xyz(xyz_canonical, alpha)
-        vis_pred = jax.nn.sigmoid(model.apply_vis(params, xyz_e)[..., 0])
+        vis_pred = jax.nn.sigmoid(model.apply_vis(
+            params, xyz_canonical,
+            embed_raw=True, embed_alpha=alpha)[..., 0])
 
     rgb, feat_rnd, depth_rnd, weights, vis_coarse, sil = _inference(
         model, params, rays, xyz_input, rays["rays_d"], rays["dir_embedded"], z_vals,
@@ -408,8 +414,8 @@ def inference_deform(model, params, mvars, rays, xyz_sampled, z_vals, key, cfg,
         # uncertainty prediction (rendering.py:501-516)
         if cfg.use_unc and "xysn" in rays:
             xyt = jnp.concatenate([rays["xysn"], rays["ts"]], -1)
-            xyt_e = model.embed_xyz(xyt, alpha)
-            unc_pred = model.apply_unc(params, jnp.concatenate([xyt_e, rays["vid_code"]], -1))
+            unc_pred = model.apply_unc(params, xyt, code_trunk=rays["vid_code"],
+                                       embed_raw=True, embed_alpha=alpha)
             result["unc_pred"] = unc_pred
 
         # per-sample losses (rendering.py:518-578)
@@ -475,9 +481,8 @@ def visibility_loss(model, params, xyz_pos, w_pos, bound, key, alpha=None):
     # W=64 kernel launches are sequencing-bound (the per-matmul issue tax
     # dominates at this width), so halving the launch count is ~free time.
     vis_both = model.apply_vis(
-        params,
-        model.embed_xyz(jnp.concatenate([xyz_neg, xyz_pos], 0), alpha),
-        need_dx=False)[..., 0]
+        params, jnp.concatenate([xyz_neg, xyz_pos], 0),
+        need_dx=False, embed_raw=True, embed_alpha=alpha)[..., 0]
     vis_neg, vis_pos = vis_both[:R], vis_both[R:]
     vis_loss_neg = -jax.nn.log_sigmoid(-vis_neg).sum(-1) * 0.1 / S
     vis_loss_pos = -(jax.nn.log_sigmoid(vis_pos) * w_pos).sum(-1) / S
