@@ -59,12 +59,14 @@ def make_stage(name: str, use_pallas: bool | None = None):
     num_fr = 64
     common = dict(num_bones=25, img_size=512, ndepth=128, feat_ndepth_grid=20,
                   lineload=True)
+    # use_unc only in ft2, exactly as the recipe trains (template.sh
+    # stage 3 passes --use_unc; stages 1-2 leave the flag at its False
+    # default — reference scripts/template.sh:21-63)
     if name == "init":
-        cfg = MoDAConfig(nsample=4, use_unc=True, eikonal_wt=0.001, **common)
+        cfg = MoDAConfig(nsample=4, eikonal_wt=0.001, **common)
         use_fine, ns_uniform, ns_active = False, 4, 0
     elif name == "ft1":
-        cfg = MoDAConfig(nsample=6, use_unc=True, freeze_proj=True,
-                         **common)
+        cfg = MoDAConfig(nsample=6, freeze_proj=True, **common)
         use_fine, ns_uniform, ns_active = False, 6, 0
     elif name == "ft2":
         # trainer.get_step_fn split with nactive=0.5: 2 uniform + 2 active

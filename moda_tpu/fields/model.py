@@ -14,6 +14,7 @@ This replaces the reference's mutable ``moda(nn.Module)`` construction
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -243,8 +244,15 @@ class MoDAModel:
         lanes). sigma_only stays on flax: those call sites pass
         trunk-width inputs and the eikonal loss needs grad-of-grad, which
         a custom_vjp kernel cannot provide (losses.py:40-70)."""
+        # Kernel route: real TPU, or MODA_FORCE_PALLAS=1 (CI runs the
+        # kernels in pallas interpret mode on CPU — without this override
+        # the flax fallback hides kernel-routing regressions from every
+        # pipeline-level test; that is exactly how the round-3 apply_unc
+        # layout bug shipped). MODA_PALLAS_F32=1 additionally forces fp32
+        # kernel compute so parity vs the fp32 flax path is exact.
+        force = os.environ.get("MODA_FORCE_PALLAS") == "1"
         if self.cfg.use_pallas and not sigma_only \
-                and jax.default_backend() == "tpu":
+                and (force or jax.default_backend() == "tpu"):
             from moda_tpu.core.embedding import window_vec
             from moda_tpu.ops.fused_mlp import nerf_mlp_pallas
             S = x.shape[1] if (x.ndim == 3 and
@@ -253,13 +261,15 @@ class MoDAModel:
             if embed_raw:
                 ef = NUM_FREQS
                 ew = window_vec(NUM_FREQS, x.shape[-1], embed_alpha)
+            cdt = (jnp.float32 if os.environ.get("MODA_PALLAS_F32") == "1"
+                   else jnp.bfloat16)
             return nerf_mlp_pallas(
                 p, x, D=mod.D, in_xyz=mod.in_channels_xyz,
                 in_dir=mod.in_channels_dir, skips=tuple(mod.skips),
                 raw_feat=mod.raw_feat, sigma_only=sigma_only,
                 code_trunk=code_trunk, code_dir=code_dir,
                 samples_per_ray=S, need_dx=need_dx,
-                embed_freqs=ef, embed_window=ew)
+                embed_freqs=ef, embed_window=ew, compute_dtype=cdt)
         if embed_raw:
             x = positional_embed(x, NUM_FREQS, alpha=embed_alpha)
         # flax fallback: rebuild the reference's concatenated layout
@@ -269,8 +279,9 @@ class MoDAModel:
                                    x.shape[:-1] + (code_trunk.shape[-1],)))
             x = jnp.concatenate([x, cb], -1)
         if code_dir is not None:
-            cb = jnp.broadcast_to(code_dir[:, None, :],
-                                  x.shape[:-1] + (code_dir.shape[-1],))
+            cb = (code_dir if x.ndim == code_dir.ndim else
+                  jnp.broadcast_to(code_dir[:, None, :],
+                                   x.shape[:-1] + (code_dir.shape[-1],)))
             x = jnp.concatenate([x, cb], -1)
         return mod.apply({"params": p}, x, sigma_only=sigma_only)
 
@@ -293,10 +304,16 @@ class MoDAModel:
                                need_dx=need_dx, embed_raw=embed_raw,
                                embed_alpha=embed_alpha)
 
-    def apply_unc(self, params: Params, xyt_code: jnp.ndarray, code_trunk=None,
+    def apply_unc(self, params: Params, xyt_code: jnp.ndarray, code_dir=None,
                   embed_raw: bool = False, embed_alpha=None):
+        """Uncertainty MLP (reference nerf.py:502-511 / rendering.py:501-516).
+
+        The vid code belongs on the DIR branch (nerf_unc is declared with
+        in_channels_dir=VID_DIM at __init__): pass it as code_dir, either
+        pre-concatenated into xyt_code (legacy layout, rays.py:91) or as a
+        separate per-ray code here."""
         return self._apply_mlp(self.nerf_unc, params["nerf_unc"], xyt_code,
-                               code_trunk=code_trunk, embed_raw=embed_raw,
+                               code_dir=code_dir, embed_raw=embed_raw,
                                embed_alpha=embed_alpha)
 
     def apply_csenet(self, params: Params, imgs: jnp.ndarray):

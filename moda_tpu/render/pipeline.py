@@ -414,7 +414,7 @@ def inference_deform(model, params, mvars, rays, xyz_sampled, z_vals, key, cfg,
         # uncertainty prediction (rendering.py:501-516)
         if cfg.use_unc and "xysn" in rays:
             xyt = jnp.concatenate([rays["xysn"], rays["ts"]], -1)
-            unc_pred = model.apply_unc(params, xyt, code_trunk=rays["vid_code"],
+            unc_pred = model.apply_unc(params, xyt, code_dir=rays["vid_code"],
                                        embed_raw=True, embed_alpha=alpha)
             result["unc_pred"] = unc_pred
 

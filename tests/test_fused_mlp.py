@@ -229,3 +229,54 @@ def test_fused_in_kernel_embed_no_window():
                              compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_unc_configuration():
+    """The nerf_unc call shape: RAW 2-D x [R, 3] (xysn+t), in-kernel embed,
+    and a per-ray 32-wide vid code routed to the DIR branch (code_dir,
+    S=1). Regression for the round-3 apply_unc layout bug: this exact
+    configuration asserted on TPU while every CPU test passed via the
+    flax fallback (reference semantics: nerf.py:502-511 NeRFUnc with
+    in_channels_dir=vid_code_dim)."""
+    from moda_tpu.core.embedding import positional_embed, window_vec
+
+    D, W, F, cd = 8, 64, 10, 32
+    R = 48
+    in_xyz, in_dir = 63, cd
+    mod = NeRFMLP(D=D, W=W, in_channels_xyz=in_xyz, in_channels_dir=in_dir,
+                  out_channels=1, raw_feat=True)
+    xyt = jax.random.normal(jax.random.key(41), (R, 3))
+    vid = jax.random.normal(jax.random.key(42), (R, cd))
+    alpha = jnp.asarray(6.0)
+
+    def full_input(xyt):
+        return jnp.concatenate([positional_embed(xyt, F, alpha=alpha), vid], -1)
+
+    params = mod.init(jax.random.key(40), full_input(xyt))["params"]
+
+    def loss_ref(params, xyt, vid):
+        xe = positional_embed(xyt, F, alpha=alpha)
+        return (mod.apply({"params": params},
+                          jnp.concatenate([xe, vid], -1)) ** 2).sum()
+
+    def loss_fused(params, xyt, vid):
+        out = FM.nerf_mlp_pallas(
+            params, xyt, D=D, in_xyz=in_xyz, in_dir=in_dir, raw_feat=True,
+            code_dir=vid, samples_per_ray=1,
+            embed_freqs=F, embed_window=window_vec(F, 3, alpha),
+            block_points=16, block_points_bwd=16,
+            compute_dtype=jnp.float32)
+        return (out ** 2).sum()
+
+    np.testing.assert_allclose(float(loss_fused(params, xyt, vid)),
+                               float(loss_ref(params, xyt, vid)), rtol=1e-5)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(params, xyt, vid)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(params, xyt, vid)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf[2]), np.asarray(gr[2]), atol=1e-4)
+    gf_flat = {jax.tree_util.keystr(k): v for k, v in
+               jax.tree_util.tree_leaves_with_path(gf[0])}
+    for k, vr in jax.tree_util.tree_leaves_with_path(gr[0]):
+        np.testing.assert_allclose(
+            np.asarray(gf_flat[jax.tree_util.keystr(k)]), np.asarray(vr),
+            atol=1e-4, err_msg=jax.tree_util.keystr(k))

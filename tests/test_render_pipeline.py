@@ -214,3 +214,54 @@ def test_visibility_loss_reference_normalization(rng):
     expect = (-(jax.nn.log_sigmoid(vis_pos) * w).sum() / (R * S)
               - jax.nn.log_sigmoid(-vis_neg).sum() * 0.1 / (R * S))
     np.testing.assert_allclose(float(out.mean()), float(expect), rtol=1e-5)
+
+
+def test_pallas_route_parity_ft2(rng, monkeypatch):
+    """Force the Pallas kernel route on CPU (interpret mode, fp32 compute)
+    and assert render_rays value AND grad parity vs the flax path for the
+    ft2 configuration (use_unc + fine pass + active sampling + NeuDBS
+    skin/dis). Gate for kernel-routing regressions that the
+    default_backend()=="tpu" gate hides from every other pipeline test —
+    exactly how the round-3 apply_unc layout bug shipped (reference
+    numerics: nnutils/rendering.py:19-623)."""
+    cfg, model, params, mvars = tiny_setup()
+    batch = tiny_batch(rng, cfg)
+
+    def forward():
+        @jax.jit
+        def fwd(params, mvars, batch, key):
+            def scalar(params):
+                rtk = make_rtk(model, params, batch)
+                rays = RB.build_rays(model, params, mvars, batch, rtk, key,
+                                     2, nsample_active=2)
+                rendered = render_rays(model, params, mvars, rays, key,
+                                       cfg.ndepth, use_fine=True)
+                loss = sum(jnp.sum(v ** 2) for v in rendered.values())
+                return loss, rendered
+
+            (loss, rendered), grads = jax.value_and_grad(
+                scalar, has_aux=True)(params)
+            return rendered, grads
+
+        return fwd(params, mvars, batch, jax.random.key(1))
+
+    flax_out, flax_g = forward()
+    monkeypatch.setenv("MODA_FORCE_PALLAS", "1")
+    monkeypatch.setenv("MODA_PALLAS_F32", "1")
+    pallas_out, pallas_g = forward()
+
+    assert set(pallas_out) == set(flax_out)
+    for k in sorted(flax_out):
+        np.testing.assert_allclose(np.asarray(pallas_out[k]),
+                                   np.asarray(flax_out[k]),
+                                   atol=5e-4, rtol=5e-3, err_msg=k)
+    for comp in ["nerf_coarse", "nerf_unc", "nerf_feat", "nerf_skin",
+                 "vid_code", "pose_code", "env_code"]:
+        gf = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(pallas_g[comp])}
+        for k, vr in jax.tree_util.tree_leaves_with_path(flax_g[comp]):
+            vp = gf[jax.tree_util.keystr(k)]
+            scale = float(np.abs(np.asarray(vr)).max()) + 1e-8
+            np.testing.assert_allclose(
+                np.asarray(vp) / scale, np.asarray(vr) / scale,
+                atol=2e-3, err_msg=f"{comp}{jax.tree_util.keystr(k)}")
