@@ -103,8 +103,12 @@ def make_stage(name: str, use_pallas: bool | None = None):
 
     opt = MoDAOptimizer(cfg, total_steps=24000)
     opt_state = opt.init(params)
+    # dskin gating as trained: init measures mid-stage (progress 0.5 <
+    # dskin_steps 0.8 -> delta-skin MLP off); ft1/ft2 pass --dskin_steps 0
+    # (template.sh:42,58) -> on
     step = make_train_step(model, opt, nsample=ns_uniform, ndepth=cfg.ndepth,
-                           use_fine=use_fine, use_dskin=True, use_bones=True,
+                           use_fine=use_fine, use_dskin=(name != "init"),
+                           use_bones=True,
                            nsample_active=ns_active, donate=True)
     extras = StepExtras(
         progress=jnp.asarray(0.5), loss_select=jnp.asarray(1),

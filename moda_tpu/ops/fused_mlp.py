@@ -332,27 +332,27 @@ def _bwd_kernel(arch: Arch, cdt, nw, *refs):
         dct_ref[:] = d_t[:, arch.in_x:].reshape(
             BR, arch.S, arch.ct).sum(1, keepdims=True)
 
+    # weight-grad accumulation across the (sequential) grid: ONE
+    # set/accumulate region pair for ALL refs — a @pl.when per ref (the
+    # old form) emits ~2x#refs predicated regions per grid step, whose
+    # control-flow overhead dominates the narrow-net backward (the
+    # per-grid-step fixed cost this kernel is sequencing-bound on)
     first = pl.program_id(0) == 0
-    if dwin_ref is not None:
+    updates = list(zip(dw_refs, dws))
 
-        @pl.when(first)
-        def _():
+    @pl.when(first)
+    def _():
+        if dwin_ref is not None:
             dwin_ref[:] = dwin
+        for r, dw in updates:
+            r[:] = dw.reshape(r.shape)
 
-        @pl.when(jnp.logical_not(first))
-        def _():
+    @pl.when(jnp.logical_not(first))
+    def _():
+        if dwin_ref is not None:
             dwin_ref[:] = dwin_ref[:] + dwin
-
-    for r, dw in zip(dw_refs, dws):
-        v = dw.reshape(r.shape)
-
-        @pl.when(first)
-        def _(r=r, v=v):
-            r[:] = v
-
-        @pl.when(jnp.logical_not(first))
-        def _(r=r, v=v):
-            r[:] = r[:] + v
+        for r, dw in updates:
+            r[:] = r[:] + dw.reshape(r.shape)
 
 
 def _pad_rows(x, bn):
@@ -590,15 +590,18 @@ def nerf_mlp_pallas(params: dict, x: jnp.ndarray, *, D: int, in_xyz: int,
     # nets are sequencing-bound — every matmul pays a fixed issue cost, so
     # fewer/larger blocks win — while wide nets are VMEM-bound in the
     # backward (rematerialized activation stack): W>=256 fails to compile
-    # beyond 768 points/block. Backward blocks are powers of two so the
-    # per-block ray count divides the recipe's 2048 rays (a 768-pt block
-    # is 6 rays -> XLA pads rays 2048->2052 outside the kernel).
+    # beyond 768 points/block. Backward blocks are powers of two: a
+    # power-of-two per-block ray count divides the recipe's 2048 rays,
+    # where a 768-pt block (6 rays) forces a 2048->2052 ray pad + result
+    # slice outside the kernel (r4 sweep: trunk bpb 512 beats 768 by
+    # ~0.8 ms/step at the recipe bundle for exactly this reason, and
+    # non-divisible 768 is also the worst case for feat/skin).
     W = weights[0].shape[1]
     if block_points is None:
         block_points = 4096 if W <= 64 else 2048
     if block_points_bwd is None:
         if W >= 256:
-            block_points_bwd = 768
+            block_points_bwd = 512  # 1024 exceeds VMEM (remat stack)
         elif W > 64 or ct or cd:
             block_points_bwd = 1024  # W=128 @ 2048 pts: 17.2M > 16M VMEM
         else:
