@@ -298,6 +298,44 @@ class MoDAModel:
                                need_dx=need_dx,
                                embed_raw=embed_raw, embed_alpha=embed_alpha)
 
+    def apply_coarse_feat(self, params: Params, x: jnp.ndarray,
+                          code_dir=None, embed_raw: bool = False,
+                          embed_alpha=None):
+        """Coarse rgb/sigma AND the CSE feature head at the same sample
+        points (rendering.py:124-166). On the Pallas route both nets ride
+        ONE fused launch — the block DMA, in-kernel positional embed, and
+        grid sequencing are paid once; the narrow feat net's matmuls are
+        nearly free on the trunk's grid (~3 ms/step at the recipe bundle
+        vs separate launches). Returns (coarse [..,4], feat [..,NUM_FEAT])."""
+        force = os.environ.get("MODA_FORCE_PALLAS") == "1"
+        if self.cfg.use_pallas and (force or jax.default_backend() == "tpu"):
+            from moda_tpu.core.embedding import window_vec
+            from moda_tpu.ops.fused_mlp import nerf_mlp_pallas_multi
+            S = x.shape[1] if (x.ndim == 3 and code_dir is not None) else 1
+            ef, ew = 0, None
+            if embed_raw:
+                ef = NUM_FREQS
+                ew = window_vec(NUM_FREQS, x.shape[-1], embed_alpha)
+            cdt = (jnp.float32 if os.environ.get("MODA_PALLAS_F32") == "1"
+                   else jnp.bfloat16)
+            mc, mf = self.nerf_coarse, self.nerf_feat
+            out, feat = nerf_mlp_pallas_multi(
+                [dict(params=params["nerf_coarse"], D=mc.D,
+                      in_xyz=mc.in_channels_xyz, in_dir=mc.in_channels_dir,
+                      skips=tuple(mc.skips), raw_feat=mc.raw_feat,
+                      use_cd=True),
+                 dict(params=params["nerf_feat"], D=mf.D,
+                      in_xyz=mf.in_channels_xyz, in_dir=0,
+                      skips=tuple(mf.skips), raw_feat=mf.raw_feat)],
+                x, code_dir=code_dir, samples_per_ray=S,
+                embed_freqs=ef, embed_window=ew, compute_dtype=cdt)
+            return out, feat
+        out = self.apply_coarse(params, x, code_dir=code_dir,
+                                embed_raw=embed_raw, embed_alpha=embed_alpha)
+        feat = self.apply_feat(params, x, embed_raw=embed_raw,
+                               embed_alpha=embed_alpha)
+        return out, feat
+
     def apply_vis(self, params: Params, xyz_e: jnp.ndarray, need_dx: bool = True,
                   embed_raw: bool = False, embed_alpha=None):
         return self._apply_mlp(self.nerf_vis, params["nerf_vis"], xyz_e,

@@ -14,6 +14,15 @@ rematerializes activations in VMEM (flash-attention-style), reduces
 per-ray code grads over samples, and accumulates weight grads in VMEM
 across the (sequential) TPU grid.
 
+Multi-net fusion: several NeRFMLPs that consume the SAME per-point input
+(e.g. the rgb trunk and the CSE-feature head both evaluate at the coarse
+sample points, rendering.py:124-237 + 158-166) run in ONE kernel launch:
+the block DMA, the in-kernel positional embed, and the grid sequencing
+are paid once instead of per net. The narrow nets are sequencing-bound
+(the per-matmul issue tax dominates at W<=128), so riding them on the
+trunk's grid is nearly free — measured ~3 ms/step at the recipe bundle
+vs separate launches.
+
 Architecture mirrored (nets.NeRFMLP == reference nnutils/nerf.py:83-198):
   t   = concat(x_e, code_trunk per-ray)          # trunk input
   h = t;  for i in range(D): h = relu(W_i @ (concat(t, h) if i in skips else h))
@@ -69,7 +78,12 @@ def _mm(a, b, cdt):
 
 
 class Arch:
-    """Static kernel configuration (hashable; nondiff arg of fused_mlp)."""
+    """Static per-net kernel configuration (hashable; nondiff arg).
+
+    A fused launch takes a TUPLE of Arch: every net consumes the same
+    per-point input block (and shares one optional code_trunk / code_dir
+    operand — a net with ct=0/cd=0 simply ignores it). S / emb / need_dx
+    are shared launch-level properties read from the first net."""
 
     def __init__(self, D, in_x, ct, cd, skips, S, need_dx=True,
                  sigmoid=False, emb=None, drop_sigma=False):
@@ -100,6 +114,10 @@ class Arch:
     @property
     def emb_F(self):
         return self.emb[1] if self.emb else 0
+
+    @property
+    def nw(self):
+        return 2 * (self.D + 4)  # D trunk layers + sigma/final/dir/rgb heads
 
     def key(self):
         return (self.D, self.in_x, self.ct, self.cd, self.skips, self.S,
@@ -138,22 +156,17 @@ def _embed_block(x, wemb, win, arch: Arch):
     return jnp.concatenate([x, emb], -1), xf, trig
 
 
-def _forward_block(x, ct_code, cd_code, ws, arch: Arch, cdt, want_acts=False,
-                   wemb=None, win=None):
-    """One [BN, in_x] block through the whole stack. ct_code/cd_code are
-    the block's per-ray codes ([BR, ct]/[BR, cd]) or None. With arch.emb,
-    x is raw [BN, C] and embedded here; (xf, trig) are returned for the
-    backward when want_acts."""
+def _net_forward(xe, ct_code, cd_code, ws, arch: Arch, cdt, want_acts=False):
+    """One pre-embedded [BN, in_x] block through one net's stack.
+    ct_code/cd_code are the block's per-ray codes ([BR, ct]/[BR, cd]) or
+    None (ignored unless arch.ct/arch.cd)."""
     D, skips = arch.D, arch.skips
-    xf = trig = None
-    if arch.emb:
-        x, xf, trig = _embed_block(x, wemb, win, arch)
-    BN = x.shape[0]
+    BN = xe.shape[0]
     BR = BN // arch.S
-    if ct_code is not None:
-        t = jnp.concatenate([x, _bcast_code(ct_code, BR, arch.S, arch.ct)], -1)
+    if arch.ct:
+        t = jnp.concatenate([xe, _bcast_code(ct_code, BR, arch.S, arch.ct)], -1)
     else:
-        t = x
+        t = xe
     # acts are stored in cdt (bf16): that is exactly the value the next
     # matmul consumes (inputs are cast to cdt at every _mm), so the
     # backward's weight-grad matmuls and relu masks see identical bits
@@ -174,7 +187,7 @@ def _forward_block(x, ct_code, cd_code, ws, arch: Arch, cdt, want_acts=False,
     kout, bout = ws[2 * D + 6], ws[2 * D + 7]
     sigma = None if arch.drop_sigma else _mm(h, ksig, cdt) + bsig
     h_final = _mm(h, kfin, cdt) + bfin
-    if cd_code is not None:
+    if arch.cd:
         hd_in = jnp.concatenate(
             [h_final, _bcast_code(cd_code, BR, arch.S, arch.cd)], -1)
     else:
@@ -186,66 +199,24 @@ def _forward_block(x, ct_code, cd_code, ws, arch: Arch, cdt, want_acts=False,
         acts.append(hd.astype(cdt))
     rgb = _mm(hd, kout, cdt) + bout
     if arch.drop_sigma:
-        return rgb, (acts if want_acts else None), (xf, trig)
+        return rgb, (acts if want_acts else None)
     if arch.sigmoid:
         # sigmoid applied in-kernel: the XLA-side sigmoid+re-concat on the
         # [N, out+1] result pads out+1 -> 128 lanes and costs ~1 ms/step
         # of pure layout traffic at the recipe bundle
         rgb = jax.nn.sigmoid(rgb)
     out = jnp.concatenate([rgb, sigma], -1)
-    return out, (acts if want_acts else None), (xf, trig)
+    return out, (acts if want_acts else None)
 
 
-def _fwd_kernel(arch: Arch, cdt, *refs):
-    i = 0
-    x = refs[i][:]; i += 1
-    ct_code = cd_code = wemb = win = None
-    if arch.ct:
-        ct_code = refs[i][:].reshape(-1, arch.ct); i += 1
-    if arch.cd:
-        cd_code = refs[i][:].reshape(-1, arch.cd); i += 1
-    if arch.emb:
-        wemb = refs[i][:]; i += 1
-        win = refs[i][:]; i += 1
-    ws = [r[:] for r in refs[i:-1]]
-    out, _, _ = _forward_block(x, ct_code, cd_code, ws, arch, cdt,
-                               wemb=wemb, win=win)
-    refs[-1][:] = out
+def _net_backward(xe, ct_code, cd_code, ws, g, arch: Arch, cdt):
+    """VJP of one net's stack wrt (pre-embedded input, codes, weights).
 
-
-def _bwd_kernel(arch: Arch, cdt, nw, *refs):
-    """inputs: x, [ct], [cd], [wemb, win], g, w*
-    outputs: [dx], [dct], [dcd], [dwin], dw*"""
+    Returns (d_xe [BN, in_x], d_ct [BR,1,ct]|None, d_cd [BR,1,cd]|None,
+    dws list). Activations are rematerialized here (VMEM, bf16)."""
     D, skips = arch.D, arch.skips
-    i = 0
-    x = refs[i][:]; i += 1
-    ct_code = cd_code = wemb = win = None
-    if arch.ct:
-        ct_code = refs[i][:].reshape(-1, arch.ct); i += 1
-    if arch.cd:
-        cd_code = refs[i][:].reshape(-1, arch.cd); i += 1
-    if arch.emb:
-        wemb = refs[i][:]; i += 1
-        win = refs[i][:]; i += 1
-    g = refs[i][:]; i += 1
-    ws = [r[:] for r in refs[i:i + nw]]
-    i += nw
-    outs = refs[i:]
-    oi = 0
-    dx_ref = dct_ref = dcd_ref = dwin_ref = None
-    if arch.need_dx:
-        dx_ref = outs[oi]; oi += 1
-    if arch.ct:
-        dct_ref = outs[oi]; oi += 1
-    if arch.cd:
-        dcd_ref = outs[oi]; oi += 1
-    if arch.emb:
-        dwin_ref = outs[oi]; oi += 1
-    dw_refs = outs[oi:]
-
-    out_fb, acts, (xf, trig) = _forward_block(
-        x, ct_code, cd_code, ws, arch, cdt, want_acts=True,
-        wemb=wemb, win=win)
+    out_fb, acts = _net_forward(xe, ct_code, cd_code, ws, arch, cdt,
+                                want_acts=True)
     h_trunk, hd_in, hd = acts[D], acts[D + 1], acts[D + 2]
     out_ch = g.shape[1] - (0 if arch.drop_sigma else 1)
     d_out = g[:, :out_ch]
@@ -254,7 +225,7 @@ def _bwd_kernel(arch: Arch, cdt, nw, *refs):
         d_out = d_out * s * (1.0 - s)
     d_sigma = None if arch.drop_sigma else g[:, out_ch:]
     tin = arch.in_x + arch.ct  # trunk input width
-    BN = x.shape[0]
+    BN = xe.shape[0]
     BR = BN // arch.S
 
     dws = [None] * len(ws)
@@ -281,9 +252,10 @@ def _bwd_kernel(arch: Arch, cdt, nw, *refs):
     d_hd_in = mm_nt(d_hd, ws[2 * D + 4])
     W_fin = ws[2 * D + 2].shape[1]
     d_h_final = d_hd_in[:, :W_fin]
-    if dcd_ref is not None:
-        dcd_ref[:] = d_hd_in[:, W_fin:].reshape(
-            BR, arch.S, arch.cd).sum(1, keepdims=True)
+    d_cd = None
+    if arch.cd:
+        d_cd = d_hd_in[:, W_fin:].reshape(BR, arch.S, arch.cd).sum(
+            1, keepdims=True)
     dws[2 * D + 2] = mmT_nt(h_trunk, d_h_final)
     dws[2 * D + 3] = d_h_final.sum(0, keepdims=True)
     if arch.drop_sigma:
@@ -312,10 +284,110 @@ def _bwd_kernel(arch: Arch, cdt, nw, *refs):
             d_h = d_in
     d_t = d_t + d_h
 
+    d_ct = None
+    if arch.ct:
+        d_ct = d_t[:, arch.in_x:].reshape(BR, arch.S, arch.ct).sum(
+            1, keepdims=True)
+    return d_t[:, :arch.in_x], d_ct, d_cd, dws
+
+
+def _split_ws(ws, archs):
+    """Flat weight list -> per-net slices (each net has 2*(D+4) arrays)."""
+    out, i = [], 0
+    for a in archs:
+        out.append(ws[i:i + a.nw])
+        i += a.nw
+    return out
+
+
+def _fwd_kernel(archs, cdt, *refs):
+    a0 = archs[0]
+    has_ct = any(a.ct for a in archs)
+    has_cd = any(a.cd for a in archs)
+    i = 0
+    x = refs[i][:]; i += 1
+    ct_code = cd_code = wemb = win = None
+    if has_ct:
+        ct = max(a.ct for a in archs)
+        ct_code = refs[i][:].reshape(-1, ct); i += 1
+    if has_cd:
+        cd = max(a.cd for a in archs)
+        cd_code = refs[i][:].reshape(-1, cd); i += 1
+    if a0.emb:
+        wemb = refs[i][:]; i += 1
+        win = refs[i][:]; i += 1
+    nw = sum(a.nw for a in archs)
+    ws = [r[:] for r in refs[i:i + nw]]
+    out_refs = refs[i + nw:]
+    if a0.emb:
+        xe, _, _ = _embed_block(x, wemb, win, a0)
+    else:
+        xe = x
+    for a, ws_i, oref in zip(archs, _split_ws(ws, archs), out_refs):
+        out, _ = _net_forward(xe, ct_code if a.ct else None,
+                              cd_code if a.cd else None, ws_i, a, cdt)
+        oref[:] = out
+
+
+def _bwd_kernel(archs, cdt, *refs):
+    """inputs: x, [ct], [cd], [wemb, win], g*, w*
+    outputs: [dx], [dct], [dcd], [dwin], dw*"""
+    a0 = archs[0]
+    has_ct = any(a.ct for a in archs)
+    has_cd = any(a.cd for a in archs)
+    i = 0
+    x = refs[i][:]; i += 1
+    ct_code = cd_code = wemb = win = None
+    ct = max((a.ct for a in archs), default=0)
+    cd = max((a.cd for a in archs), default=0)
+    if has_ct:
+        ct_code = refs[i][:].reshape(-1, ct); i += 1
+    if has_cd:
+        cd_code = refs[i][:].reshape(-1, cd); i += 1
+    if a0.emb:
+        wemb = refs[i][:]; i += 1
+        win = refs[i][:]; i += 1
+    gs = [refs[i + k][:] for k in range(len(archs))]
+    i += len(archs)
+    nw = sum(a.nw for a in archs)
+    ws = [r[:] for r in refs[i:i + nw]]
+    i += nw
+    outs = refs[i:]
+    oi = 0
+    dx_ref = dct_ref = dcd_ref = dwin_ref = None
+    if a0.need_dx:
+        dx_ref = outs[oi]; oi += 1
+    if has_ct:
+        dct_ref = outs[oi]; oi += 1
+    if has_cd:
+        dcd_ref = outs[oi]; oi += 1
+    if a0.emb:
+        dwin_ref = outs[oi]; oi += 1
+    dw_refs = outs[oi:]
+
+    if a0.emb:
+        xe, xf, trig = _embed_block(x, wemb, win, a0)
+    else:
+        xe, xf, trig = x, None, None
+
+    d_xe = None
+    d_ct_tot = d_cd_tot = None
+    dws_all = []
+    for a, ws_i, g in zip(archs, _split_ws(ws, archs), gs):
+        d_xe_i, d_ct_i, d_cd_i, dws_i = _net_backward(
+            xe, ct_code if a.ct else None, cd_code if a.cd else None,
+            ws_i, g, a, cdt)
+        d_xe = d_xe_i if d_xe is None else d_xe + d_xe_i
+        if d_ct_i is not None:
+            d_ct_tot = d_ct_i if d_ct_tot is None else d_ct_tot + d_ct_i
+        if d_cd_i is not None:
+            d_cd_tot = d_cd_i if d_cd_tot is None else d_cd_tot + d_cd_i
+        dws_all.extend(dws_i)
+
     dwin = None
-    if arch.emb:
-        C = arch.emb_C
-        d_emb = d_t[:, C:arch.in_x]
+    if a0.emb:
+        C = a0.emb_C
+        d_emb = d_xe[:, C:a0.in_x]
         if dwin_ref is not None:
             dwin = (d_emb * trig).sum(0, keepdims=True)
         col = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
@@ -323,14 +395,16 @@ def _bwd_kernel(arch: Arch, cdt, nw, *refs):
         dtrig = jnp.where(is_sin, jnp.cos(xf), -jnp.sin(xf))
         d_xf = d_emb * dtrig if win is None else d_emb * win * dtrig
         if dx_ref is not None:
-            dx_ref[:] = d_t[:, :C] + jax.lax.dot_general(
+            dx_ref[:] = d_xe[:, :C] + jax.lax.dot_general(
                 d_xf, wemb, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
     elif dx_ref is not None:
-        dx_ref[:] = d_t[:, :arch.in_x]
+        dx_ref[:] = d_xe
+
     if dct_ref is not None:
-        dct_ref[:] = d_t[:, arch.in_x:].reshape(
-            BR, arch.S, arch.ct).sum(1, keepdims=True)
+        dct_ref[:] = d_ct_tot
+    if dcd_ref is not None:
+        dcd_ref[:] = d_cd_tot
 
     # weight-grad accumulation across the (sequential) grid: ONE
     # set/accumulate region pair for ALL refs — a @pl.when per ref (the
@@ -338,7 +412,7 @@ def _bwd_kernel(arch: Arch, cdt, nw, *refs):
     # control-flow overhead dominates the narrow-net backward (the
     # per-grid-step fixed cost this kernel is sequencing-bound on)
     first = pl.program_id(0) == 0
-    updates = list(zip(dw_refs, dws))
+    updates = list(zip(dw_refs, dws_all))
 
     @pl.when(first)
     def _():
@@ -377,10 +451,16 @@ def _cast_kernels(weights, cdt):
             for i, w in enumerate(weights)]
 
 
+def _out_dim(a: Arch, weights) -> int:
+    return weights[-2].shape[1] + (0 if a.drop_sigma else 1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def fused_mlp(x, ct_code, cd_code, win, weights, arch, block_rays,
+def fused_mlp(x, ct_code, cd_code, win, weights, archs, block_rays,
               block_rays_bwd, cdt):
-    out, _ = _fused_mlp_fwd(x, ct_code, cd_code, win, weights, arch,
+    """weights: flat tuple across nets (2*(D+4) arrays each, in archs
+    order). Returns a tuple of per-net outputs [N, out_dim_i]."""
+    out, _ = _fused_mlp_fwd(x, ct_code, cd_code, win, weights, archs,
                             block_rays, block_rays_bwd, cdt)
     return out
 
@@ -399,98 +479,101 @@ def _emb_operands(arch: Arch, win):
     return specs, [wemb, win]
 
 
-def _call_fwd(x, ct_code, cd_code, win, weights, arch: Arch, BR, cdt):
-    S = arch.S
+def _code_operands(code, c, BR, in_specs, args):
+    # per-ray codes travel as [R, 1, c]: TPU block tiling constrains only
+    # the LAST TWO dims, so (BR, 1, c) blocks keep the ray dim free
+    cp, _ = _pad_rows(code, BR)
+    in_specs.append(pl.BlockSpec((BR, 1, c), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(cp.reshape(-1, 1, c))
+
+
+def _call_fwd(x, ct_code, cd_code, win, weights, archs, BR, cdt):
+    a0 = archs[0]
+    S = a0.S
     xp, n = _pad_rows(x, BR * S)
     N = xp.shape[0]
-    out_dim = weights[-2].shape[1] + (0 if arch.drop_sigma else 1)
     grid = (N // (BR * S),)
     in_specs = [pl.BlockSpec((BR * S, x.shape[1]), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
     args = [xp]
-    # per-ray codes travel as [R, 1, c]: TPU block tiling constrains only
-    # the LAST TWO dims, so (BR, 1, c) blocks keep the ray dim free
-    if arch.ct:
-        c, _ = _pad_rows(ct_code, BR)
-        in_specs.append(pl.BlockSpec((BR, 1, arch.ct), lambda i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(c.reshape(-1, 1, arch.ct))
-    if arch.cd:
-        c, _ = _pad_rows(cd_code, BR)
-        in_specs.append(pl.BlockSpec((BR, 1, arch.cd), lambda i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(c.reshape(-1, 1, arch.cd))
-    if arch.emb:
-        especs, eargs = _emb_operands(arch, win)
+    if ct_code is not None:
+        _code_operands(ct_code, ct_code.shape[-1], BR, in_specs, args)
+    if cd_code is not None:
+        _code_operands(cd_code, cd_code.shape[-1], BR, in_specs, args)
+    if a0.emb:
+        especs, eargs = _emb_operands(a0, win)
         in_specs += especs
         args += eargs
     in_specs += _w_specs(weights)
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, arch, cdt),
-        out_shape=jax.ShapeDtypeStruct((N, out_dim), jnp.float32),
+    per_net_ws = _split_ws(weights, archs)
+    out_shapes = [jax.ShapeDtypeStruct((N, _out_dim(a, w)), jnp.float32)
+                  for a, w in zip(archs, per_net_ws)]
+    out_specs = [pl.BlockSpec((BR * S, _out_dim(a, w)), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+                 for a, w in zip(archs, per_net_ws)]
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, archs, cdt),
+        out_shape=out_shapes,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((BR * S, out_dim), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         interpret=_interpret(),
     )(*args, *_cast_kernels(weights, cdt))
-    return out[:n]
+    return tuple(o[:n] for o in outs)
 
 
-def _fused_mlp_fwd(x, ct_code, cd_code, win, weights, arch, block_rays,
+def _fused_mlp_fwd(x, ct_code, cd_code, win, weights, archs, block_rays,
                    block_rays_bwd, cdt):
-    out = _call_fwd(x, ct_code, cd_code, win, weights, arch, block_rays, cdt)
+    out = _call_fwd(x, ct_code, cd_code, win, weights, archs, block_rays, cdt)
     return out, (x, ct_code, cd_code, win, weights)
 
 
-def _fused_mlp_bwd(arch: Arch, block_rays, block_rays_bwd, cdt, res, g):
+def _fused_mlp_bwd(archs, block_rays, block_rays_bwd, cdt, res, gs):
     x, ct_code, cd_code, win, weights = res
+    a0 = archs[0]
     BR = block_rays_bwd
-    S = arch.S
+    S = a0.S
     xp, n = _pad_rows(x, BR * S)
-    gp, _ = _pad_rows(g, BR * S)
     N = xp.shape[0]
     R = N // S
-    nw = len(weights)
     grid = (N // (BR * S),)
 
     in_specs = [pl.BlockSpec((BR * S, x.shape[1]), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
     args = [xp]
-    if arch.ct:
-        c, _ = _pad_rows(ct_code, BR)
-        in_specs.append(pl.BlockSpec((BR, 1, arch.ct), lambda i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(c.reshape(-1, 1, arch.ct))
-    if arch.cd:
-        c, _ = _pad_rows(cd_code, BR)
-        in_specs.append(pl.BlockSpec((BR, 1, arch.cd), lambda i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(c.reshape(-1, 1, arch.cd))
-    if arch.emb:
-        especs, eargs = _emb_operands(arch, win)
+    if ct_code is not None:
+        _code_operands(ct_code, ct_code.shape[-1], BR, in_specs, args)
+    if cd_code is not None:
+        _code_operands(cd_code, cd_code.shape[-1], BR, in_specs, args)
+    if a0.emb:
+        especs, eargs = _emb_operands(a0, win)
         in_specs += especs
         args += eargs
-    in_specs.append(pl.BlockSpec((BR * S, g.shape[1]), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM))
-    args.append(gp)
+    for g in gs:
+        gp, _ = _pad_rows(g, BR * S)
+        in_specs.append(pl.BlockSpec((BR * S, g.shape[1]), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(gp)
     in_specs += _w_specs(weights)
 
     out_shapes, out_specs = [], []
-    if arch.need_dx:
+    if a0.need_dx:
         out_shapes.append(jax.ShapeDtypeStruct((N, x.shape[1]), jnp.float32))
         out_specs.append(pl.BlockSpec((BR * S, x.shape[1]), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
-    if arch.ct:
-        out_shapes.append(jax.ShapeDtypeStruct((R, 1, arch.ct), jnp.float32))
-        out_specs.append(pl.BlockSpec((BR, 1, arch.ct), lambda i: (i, 0, 0),
+    ct = ct_code.shape[-1] if ct_code is not None else 0
+    cd = cd_code.shape[-1] if cd_code is not None else 0
+    if ct:
+        out_shapes.append(jax.ShapeDtypeStruct((R, 1, ct), jnp.float32))
+        out_specs.append(pl.BlockSpec((BR, 1, ct), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
-    if arch.cd:
-        out_shapes.append(jax.ShapeDtypeStruct((R, 1, arch.cd), jnp.float32))
-        out_specs.append(pl.BlockSpec((BR, 1, arch.cd), lambda i: (i, 0, 0),
+    if cd:
+        out_shapes.append(jax.ShapeDtypeStruct((R, 1, cd), jnp.float32))
+        out_specs.append(pl.BlockSpec((BR, 1, cd), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
-    if arch.emb:
-        FC2 = arch.emb_F * 2 * arch.emb_C
+    if a0.emb:
+        FC2 = a0.emb_F * 2 * a0.emb_C
         out_shapes.append(jax.ShapeDtypeStruct((1, FC2), jnp.float32))
         out_specs.append(pl.BlockSpec((1, FC2), lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
@@ -498,7 +581,7 @@ def _fused_mlp_bwd(arch: Arch, block_rays, block_rays_bwd, cdt, res, g):
     out_specs += _w_specs(weights)
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, arch, cdt, nw),
+        functools.partial(_bwd_kernel, archs, cdt),
         out_shape=out_shapes,
         grid=grid,
         in_specs=in_specs,
@@ -507,22 +590,58 @@ def _fused_mlp_bwd(arch: Arch, block_rays, block_rays_bwd, cdt, res, g):
     )(*args, *_cast_kernels(weights, cdt))
 
     oi = 0
-    if arch.need_dx:
+    if a0.need_dx:
         dx = outs[oi][:n]; oi += 1
     else:
         dx = jnp.zeros_like(x)
     dct = dcd = dwin = None
-    if arch.ct:
-        dct = outs[oi].reshape(-1, arch.ct)[:ct_code.shape[0]]; oi += 1
-    if arch.cd:
-        dcd = outs[oi].reshape(-1, arch.cd)[:cd_code.shape[0]]; oi += 1
-    if arch.emb:
+    if ct:
+        dct = outs[oi].reshape(-1, ct)[:ct_code.shape[0]]; oi += 1
+    if cd:
+        dcd = outs[oi].reshape(-1, cd)[:cd_code.shape[0]]; oi += 1
+    if a0.emb:
         dwin = outs[oi]; oi += 1
     dws = tuple(outs[oi:])
     return dx, dct, dcd, dwin, dws
 
 
 fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+# Block-size policy (swept on v5e, tools/bench_fused_mlp.py): narrow
+# nets are sequencing-bound — every matmul pays a fixed issue cost, so
+# fewer/larger blocks win — while wide nets are VMEM-bound in the
+# backward (rematerialized activation stack): W>=256 fails to compile
+# beyond 768 points/block. Backward blocks are powers of two: a
+# power-of-two per-block ray count divides the recipe's 2048 rays,
+# where a 768-pt block (6 rays) forces a 2048->2052 ray pad + result
+# slice outside the kernel (r4 sweep: trunk bpb 512 beats 768 by
+# ~0.8 ms/step at the recipe bundle for exactly this reason, and
+# non-divisible 768 is also the worst case for feat/skin).
+def _block_policy(W, any_code):
+    bp = 4096 if W <= 64 else 2048
+    if W >= 256:
+        bpb = 512  # 1024 exceeds VMEM (remat stack)
+    elif W > 64 or any_code:
+        bpb = 1024  # W=128 @ 2048 pts: 17.2M > 16M VMEM
+    else:
+        bpb = 2048
+    return bp, bpb
+
+
+def _prep_embed(x2, embed_freqs, embed_logscale, embed_window):
+    if embed_freqs > 0:
+        # x arrives RAW [.., C]; the positional embed to C*(2F+1) channels
+        # runs inside the kernel (dx comes back [.., C] directly)
+        C = x2.shape[-1]
+        in_x = C * (2 * embed_freqs + 1)
+        emb = (C, embed_freqs, embed_logscale)
+        if embed_window is None:
+            win = jnp.ones((1, embed_freqs * 2 * C), jnp.float32)
+        else:
+            win = embed_window.reshape(1, -1).astype(jnp.float32)
+        return in_x, emb, win
+    return x2.shape[-1], None, None
 
 
 def nerf_mlp_pallas(params: dict, x: jnp.ndarray, *, D: int, in_xyz: int,
@@ -565,20 +684,8 @@ def nerf_mlp_pallas(params: dict, x: jnp.ndarray, *, D: int, in_xyz: int,
         code_dir = x2[:, in_xyz:in_xyz + in_dir]
         x2 = x2[:, :in_xyz]
         cd = in_dir
-    emb = None
-    win = None
-    if embed_freqs > 0:
-        # x arrives RAW [.., C]; the positional embed to C*(2F+1) channels
-        # runs inside the kernel (dx comes back [.., C] directly)
-        C = x2.shape[-1]
-        in_x = C * (2 * embed_freqs + 1)
-        emb = (C, embed_freqs, embed_logscale)
-        if embed_window is None:
-            win = jnp.ones((1, embed_freqs * 2 * C), jnp.float32)
-        else:
-            win = embed_window.reshape(1, -1).astype(jnp.float32)
-    else:
-        in_x = x2.shape[-1]
+    in_x, emb, win = _prep_embed(x2, embed_freqs, embed_logscale,
+                                 embed_window)
     assert in_x + ct == in_xyz, \
         f"x width {in_x} + code_trunk {ct} != in_channels_xyz {in_xyz}"
     assert cd == in_dir, f"code_dir width {cd} != in_channels_dir {in_dir}"
@@ -586,35 +693,91 @@ def nerf_mlp_pallas(params: dict, x: jnp.ndarray, *, D: int, in_xyz: int,
     drop_sigma = raw_feat and not sigma_only
     arch = Arch(D, in_x, ct, cd, tuple(skips), S, need_dx=need_dx,
                 sigmoid=use_sigmoid, emb=emb, drop_sigma=drop_sigma)
-    # Block-size policy (swept on v5e, tools/bench_fused_mlp.py): narrow
-    # nets are sequencing-bound — every matmul pays a fixed issue cost, so
-    # fewer/larger blocks win — while wide nets are VMEM-bound in the
-    # backward (rematerialized activation stack): W>=256 fails to compile
-    # beyond 768 points/block. Backward blocks are powers of two: a
-    # power-of-two per-block ray count divides the recipe's 2048 rays,
-    # where a 768-pt block (6 rays) forces a 2048->2052 ray pad + result
-    # slice outside the kernel (r4 sweep: trunk bpb 512 beats 768 by
-    # ~0.8 ms/step at the recipe bundle for exactly this reason, and
-    # non-divisible 768 is also the worst case for feat/skin).
     W = weights[0].shape[1]
-    if block_points is None:
-        block_points = 4096 if W <= 64 else 2048
+    dbp, dbpb = _block_policy(W, bool(ct or cd))
+    block_points = block_points if block_points is not None else dbp
     if block_points_bwd is None:
-        if W >= 256:
-            block_points_bwd = 512  # 1024 exceeds VMEM (remat stack)
-        elif W > 64 or ct or cd:
-            block_points_bwd = 1024  # W=128 @ 2048 pts: 17.2M > 16M VMEM
-        else:
-            block_points_bwd = 2048
+        block_points_bwd = dbpb
     npts = max(n, 1)
     bp = min(block_points, max(S, 256, 1 << (npts - 1).bit_length()))
     BR = max(1, bp // S)
     BRb = max(1, min(block_points_bwd, bp) // S)
-    out = fused_mlp(x2, code_trunk, code_dir, win, weights, arch, BR, BRb,
-                    compute_dtype)
+    (out,) = fused_mlp(x2, code_trunk, code_dir, win, weights, (arch,), BR,
+                       BRb, compute_dtype)
     out_ch = weights[-2].shape[1]
     if sigma_only:
         return out[:, out_ch:].reshape(lead + (1,))
     if raw_feat:
         return out.reshape(lead + (out_ch,))  # kernel emitted rgb only
     return out.reshape(lead + (out_ch + 1,))
+
+
+def nerf_mlp_pallas_multi(nets, x, *,
+                          code_trunk: Optional[jnp.ndarray] = None,
+                          code_dir: Optional[jnp.ndarray] = None,
+                          samples_per_ray: int = 1,
+                          need_dx: bool = True,
+                          block_points: Optional[int] = None,
+                          block_points_bwd: Optional[int] = None,
+                          embed_freqs: int = 0, embed_logscale: bool = True,
+                          embed_window: Optional[jnp.ndarray] = None,
+                          compute_dtype=jnp.bfloat16):
+    """Evaluate SEVERAL NeRFMLPs on the same per-point input in one fused
+    launch (one block DMA + one in-kernel embed + one grid sequencing).
+
+    nets: list of dicts with keys
+      params, D, in_xyz, in_dir, skips, raw_feat,
+      use_ct (net consumes the shared code_trunk operand),
+      use_cd (net consumes the shared code_dir operand).
+    Returns a list of per-net outputs shaped like nerf_mlp_pallas's.
+    """
+    lead = x.shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(n, x.shape[-1])
+    S = samples_per_ray
+    ct = code_trunk.shape[-1] if code_trunk is not None else 0
+    cd = code_dir.shape[-1] if code_dir is not None else 0
+    if code_trunk is not None:
+        code_trunk = code_trunk.reshape(-1, ct)
+    if code_dir is not None:
+        code_dir = code_dir.reshape(-1, cd)
+    in_x, emb, win = _prep_embed(x2, embed_freqs, embed_logscale,
+                                 embed_window)
+    archs, weights = [], []
+    for spec in nets:
+        use_ct = bool(spec.get("use_ct")) and ct > 0
+        use_cd = bool(spec.get("use_cd")) and cd > 0
+        ct_i = ct if use_ct else 0
+        cd_i = cd if use_cd else 0
+        assert in_x + ct_i == spec["in_xyz"], \
+            f"x width {in_x} + ct {ct_i} != in_channels_xyz {spec['in_xyz']}"
+        assert cd_i == spec["in_dir"], \
+            f"code_dir width {cd_i} != in_channels_dir {spec['in_dir']}"
+        raw_feat = spec["raw_feat"]
+        archs.append(Arch(spec["D"], in_x, ct_i, cd_i,
+                          tuple(spec["skips"]), S, need_dx=need_dx,
+                          sigmoid=not raw_feat, emb=emb,
+                          drop_sigma=raw_feat))
+        weights.extend(flatten_params(spec["params"], spec["D"]))
+    weights = tuple(weights)
+    # block policy keyed on the WIDEST net: its remat stack dominates VMEM
+    Wmax = max(w[0].shape[1]
+               for w in _split_ws(weights, archs))
+    dbp, dbpb = _block_policy(Wmax, bool(ct or cd))
+    block_points = block_points if block_points is not None else dbp
+    if block_points_bwd is None:
+        block_points_bwd = dbpb
+    npts = max(n, 1)
+    bp = min(block_points, max(S, 256, 1 << (npts - 1).bit_length()))
+    BR = max(1, bp // S)
+    BRb = max(1, min(block_points_bwd, bp) // S)
+    outs = fused_mlp(x2, code_trunk, code_dir, win, weights, tuple(archs),
+                     BR, BRb, compute_dtype)
+    results = []
+    for a, o, w in zip(archs, outs, _split_ws(weights, archs)):
+        out_ch = w[-2].shape[1]
+        if a.drop_sigma:
+            results.append(o.reshape(lead + (out_ch,)))
+        else:
+            results.append(o.reshape(lead + (out_ch + 1,)))
+    return results

@@ -144,15 +144,18 @@ def _inference(model, params, rays, xyz, dir_, dir_embedded, z_vals, key, noise_
         code_dir_parts.append(rays["env_code"])
     if "appearance_code" in rays:
         code_dir_parts.append(rays["appearance_code"])
-    out = model.apply_coarse(params, xyz,
-                             code_dir=jnp.concatenate(code_dir_parts, -1),
-                             embed_raw=True, embed_alpha=alpha)
+    code_dir = jnp.concatenate(code_dir_parts, -1)
+    if cfg.use_embed:
+        # one fused launch for trunk + CSE-feature head (same points)
+        out, feat = model.apply_coarse_feat(params, xyz, code_dir=code_dir,
+                                            embed_raw=True, embed_alpha=alpha)
+    else:
+        out = model.apply_coarse(params, xyz, code_dir=code_dir,
+                                 embed_raw=True, embed_alpha=alpha)
     rgbs = out[..., :3]
     sigmas_raw = out[..., 3]
 
-    if cfg.use_embed:
-        feat = model.apply_feat(params, xyz, embed_raw=True, embed_alpha=alpha)
-    else:
+    if not cfg.use_embed:
         feat = jnp.zeros_like(rgbs)
 
     deltas = DN.ray_deltas(z_vals, dir_)

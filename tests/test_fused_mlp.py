@@ -280,3 +280,52 @@ def test_fused_unc_configuration():
         np.testing.assert_allclose(
             np.asarray(gf_flat[jax.tree_util.keystr(k)]), np.asarray(vr),
             atol=1e-4, err_msg=jax.tree_util.keystr(k))
+
+
+def test_fused_multi_net_matches_flax():
+    """Two nets fused in one launch (trunk + feat rider, pipeline's
+    apply_coarse_feat shape): values and ALL gradients (weights of both
+    nets, shared x, dir code) must match two separate flax applies, with
+    the in-kernel embed active (the production configuration)."""
+    from moda_tpu.core.embedding import positional_embed
+
+    D1, W1, cd = 4, 64, 12
+    D2, W2, out2 = 3, 32, 16
+    R, S, F = 4, 8, 10
+    in_x = 3 * (2 * F + 1)  # 63
+    mc = NeRFMLP(D=D1, W=W1, in_channels_xyz=in_x, in_channels_dir=cd,
+                 out_channels=3, raw_feat=False, skips=(2,))
+    mf = NeRFMLP(D=D2, W=W2, in_channels_xyz=in_x, in_channels_dir=0,
+                 out_channels=out2, raw_feat=True, skips=(2,))
+    xr = jax.random.normal(jax.random.key(30), (R, S, 3))
+    cdc = jax.random.normal(jax.random.key(31), (R, cd))
+    xe = positional_embed(xr, F)
+    xc = jnp.concatenate([xe, jnp.broadcast_to(cdc[:, None], (R, S, cd))], -1)
+    pc = mc.init(jax.random.key(32), xc.reshape(-1, xc.shape[-1]))["params"]
+    pf = mf.init(jax.random.key(33), xe.reshape(-1, in_x))["params"]
+
+    def loss_ref(pc, pf, xr, cdc):
+        xe = positional_embed(xr, F)
+        xc = jnp.concatenate(
+            [xe, jnp.broadcast_to(cdc[:, None], (R, S, cd))], -1)
+        o1 = mc.apply({"params": pc}, xc)
+        o2 = mf.apply({"params": pf}, xe)
+        return (o1 ** 2).sum() + (jnp.sin(o2) ** 2).sum()
+
+    def loss_fused(pc, pf, xr, cdc):
+        o1, o2 = FM.nerf_mlp_pallas_multi(
+            [dict(params=pc, D=D1, in_xyz=in_x, in_dir=cd, skips=(2,),
+                  raw_feat=False, use_cd=True),
+             dict(params=pf, D=D2, in_xyz=in_x, in_dir=0, skips=(2,),
+                  raw_feat=True)],
+            xr, code_dir=cdc, samples_per_ray=S, embed_freqs=F,
+            block_points=16, block_points_bwd=16,
+            compute_dtype=jnp.float32)
+        return (o1 ** 2).sum() + (jnp.sin(o2) ** 2).sum()
+
+    np.testing.assert_allclose(float(loss_fused(pc, pf, xr, cdc)),
+                               float(loss_ref(pc, pf, xr, cdc)), rtol=1e-5)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(pc, pf, xr, cdc)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(pc, pf, xr, cdc)
+    for r, f in zip(jax.tree_util.tree_leaves(gr), jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r), atol=3e-4)
