@@ -619,7 +619,10 @@ fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 # ~0.8 ms/step at the recipe bundle for exactly this reason, and
 # non-divisible 768 is also the worst case for feat/skin).
 def _block_policy(W, any_code):
-    bp = 4096 if W <= 64 else 2048
+    # bp=2048 for narrow nets too: the r4 sweep shows fwd time RISES past
+    # 2048 (vis 0.98 ms @2048 vs 1.43 @3072 — double-buffer DMA stops
+    # overlapping once the block exceeds ~0.5 MB input)
+    bp = 2048
     if W >= 256:
         bpb = 512  # 1024 exceeds VMEM (remat stack)
     elif W > 64 or any_code:
