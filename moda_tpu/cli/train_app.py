@@ -75,7 +75,7 @@ def main(argv=None):
     # host-side pixel sampling: nsample uniform slots + the 4x active
     # candidate pool per entry; ft_cse needs full crops in the batch
     npix = None if cfg.ft_cse else 5 * cfg.nsample
-    loader = PairLoader(datasets, cfg.batch_size, seed=0,
+    loader = PairLoader(datasets, cfg.batch_size, seed=cfg.seed,
                         process_index=jax.process_index(),
                         num_threads=cfg.n_data_workers,
                         num_prefetch=max(4, cfg.n_data_workers),
@@ -88,7 +88,8 @@ def main(argv=None):
                                        rtk_base=cfg.rtk_path or None)
     except Exception:
         eval_datasets = None
-    trainer = Trainer(cfg, info, loader=loader, eval_datasets=eval_datasets)
+    trainer = Trainer(cfg, info, loader=loader, eval_datasets=eval_datasets,
+                      seed=cfg.seed)
 
     # camera initialization: rtk files on disk (use_rtk_file / posenet export)
     if cfg.use_rtk_file or cfg.rtk_path:

@@ -74,6 +74,7 @@ class MoDAConfig:
     learning_rate: float = 5e-4
     batch_size: int = 2
     n_data_workers: int = 8      # loader prefetch threads (moda.py:54)
+    seed: int = 0                # PRNG seed (reference fixes 0, main.py:31)
     img_size: int = 512
     nsample: int = 6
     perturb: float = 1.0

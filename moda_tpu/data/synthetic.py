@@ -14,6 +14,13 @@ from typing import Dict, List
 
 import numpy as np
 
+# Fixed random direction bank for the CSE stand-in feature (see
+# surface_feat): 8 unit directions -> sin+cos = 16-d embedding with no
+# rotational symmetry. Seeded so datasets are reproducible across builds.
+_FEAT_BANK = np.random.default_rng(7).normal(size=(8, 3))
+_FEAT_BANK = (_FEAT_BANK / np.linalg.norm(_FEAT_BANK, axis=-1, keepdims=True)
+              * np.linspace(0.7, 2.3, 8)[:, None]).astype(np.float32)
+
 
 @dataclass
 class SynthScene:
@@ -64,13 +71,22 @@ class SynthScene:
         return 0.5 + 0.5 * n
 
     def surface_feat(self, pts_c: np.ndarray) -> np.ndarray:
-        """16-d unit feature from canonical direction (CSE stand-in)."""
+        """16-d unit feature from canonical direction (CSE stand-in).
+
+        Encodes sin/cos of projections onto a FIXED random direction bank
+        rather than the coordinate axes. The old axis-aligned encoding was
+        invariant under coordinate permutations (a 3-fold rotation symmetry
+        of the feature field), which made global yaw ambiguous to the pose
+        CNN on the no-prior route — the round-4 full-budget cold-start run
+        collapsed to the spin gauge (rooteval median 89 deg) because the
+        extracted init cameras aliased. Real CSE embeddings have no such
+        symmetry (utils/cselib.py features are semantic), so neither should
+        the stand-in: a generic random bank admits no rotation R with
+        feat(Rn) == feat(n)."""
         n = pts_c / np.maximum(np.linalg.norm(pts_c, axis=-1, keepdims=True), 1e-9)
-        freqs = np.arange(1, 4)[:, None]
-        enc = np.concatenate(
-            [np.sin(freqs * np.pi * n[..., None, :]), np.cos(freqs * np.pi * n[..., None, :])],
-            axis=-2,
-        ).reshape(n.shape[:-1] + (18,))[..., :16]
+        bank = _FEAT_BANK  # [8,3] fixed, seeded
+        proj = n @ bank.T                                        # [...,8]
+        enc = np.concatenate([np.sin(np.pi * proj), np.cos(np.pi * proj)], -1)
         return enc / np.maximum(np.linalg.norm(enc, axis=-1, keepdims=True), 1e-9)
 
     def render_frame(self, i: int) -> Dict[str, np.ndarray]:
