@@ -31,12 +31,14 @@ def main(argv=None):
     from moda_tpu.runtime import setup_jax
     setup_jax()
 
+    import jax
     import jax.numpy as jnp
 
     from moda_tpu.cli.flags import parse_config
     from moda_tpu.config import DataInfo, load_seq_config
     from moda_tpu.data.dataset import build_datasets, data_offsets
-    from moda_tpu.extract.mesh import Mesh, extract_mesh, make_warp_fw, skin_colors
+    from moda_tpu.extract.mesh import (Mesh, extract_mesh, make_warp_fw_frames,
+                                       skin_colors)
     from moda_tpu.render.evalrender import make_frame_renderer
     from moda_tpu.train.trainer import Trainer
 
@@ -53,27 +55,46 @@ def main(argv=None):
     out_dir = os.path.join(cfg.checkpoint_dir, cfg.logname + "-export")
     os.makedirs(out_dir, exist_ok=True)
 
+    # frame-parallel device work over all local devices (VERDICT r4 #9;
+    # the reference's analogue is one-GPU-per-process render_mgpu.sh)
+    dev_mesh = trainer.mesh  # 1-axis 'data' mesh, or None single-device
+
     mesh_rest = extract_mesh(trainer.model, trainer.params,
                              trainer.latest_vars["obj_bound"], cfg.sample_grid3d,
-                             cfg.mc_threshold, use_vis=not cfg.full_mesh)
+                             cfg.mc_threshold, use_vis=not cfg.full_mesh,
+                             mesh=dev_mesh)
     mesh_rest.export_obj(os.path.join(out_dir, f"{cfg.seqname}-mesh-rest.obj"))
     if (cfg.lbs or cfg.neudbs) and len(mesh_rest.vertices) > 0:
         skin_mesh = mesh_rest.copy()
         skin_mesh.colors = skin_colors(trainer.model, trainer.params, mesh_rest)
         skin_mesh.export_obj(os.path.join(out_dir, f"{cfg.seqname}-mesh-skin.obj"))
 
-    warp_fw = make_warp_fw(trainer.model)
+    warp_fw_frames = make_warp_fw_frames(trainer.model, mesh=dev_mesh)
     renderer = make_frame_renderer(trainer.model, cfg.render_size, cfg.ndepth,
-                                   chunk=cfg.chunk)
+                                   chunk=cfg.chunk, mesh=dev_mesh)
     idx_render = parse_test_frames(cfg.test_frames, offsets)
     rs = cfg.render_size
+
+    # warp the rest mesh to every requested frame in device-mesh-sized
+    # groups: one jitted call per group, frame axis sharded over devices
+    warped: dict = {}
+    if cfg.queryfw and len(mesh_rest.vertices) > 0:
+        G = (dev_mesh.size if dev_mesh is not None else 1) * 4
+        verts_dev = jnp.asarray(mesh_rest.vertices)
+        for g0 in range(0, len(idx_render), G):
+            group = list(idx_render[g0:g0 + G])
+            padded = group + [group[-1]] * (G - len(group))
+            verts_dfm, _ = warp_fw_frames(trainer.params, verts_dev,
+                                          jnp.asarray(padded, jnp.int32))
+            verts_np = np.asarray(verts_dfm)
+            for j, fi in enumerate(group):
+                warped[fi] = verts_np[j]
+
     rgb_frames, sil_frames = [], []
     raw_shapes = [None] * len(datasets)
     for fi in idx_render:
-        fid = jnp.asarray(fi)
-        if cfg.queryfw and len(mesh_rest.vertices) > 0:
-            verts_dfm, bones_dfm = warp_fw(trainer.params, jnp.asarray(mesh_rest.vertices), fid)
-            mesh_i = Mesh(np.asarray(verts_dfm), mesh_rest.faces, mesh_rest.colors)
+        if fi in warped:
+            mesh_i = Mesh(warped[fi], mesh_rest.faces, mesh_rest.colors)
         else:
             mesh_i = mesh_rest
         mesh_i.export_obj(os.path.join(out_dir, f"{cfg.seqname}-mesh-{fi:05d}.obj"))

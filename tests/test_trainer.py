@@ -203,3 +203,29 @@ def test_rt_raw_keeps_prior_cameras(tmp_path):
                               i0=1, K=1, epoch=0)
     np.testing.assert_array_equal(tr.latest_vars["rt_raw"], raw0)
     np.testing.assert_allclose(tr.latest_vars["rtk"][0, 2, 3], 9.9)
+
+
+def test_density_collapse_root_freeze(tmp_path):
+    """root_stab_density: a collapsing density grid freezes root updates
+    for the coming epoch (round-4 drift forensics: the 26.5-deg run's
+    error was acquired while frac_occupied was collapsing)."""
+    scene, tr = make_trainer(tmp_path)
+    # empty mesh after epoch 0 -> freeze
+    tr.mesh_rest = Mesh()
+    tr.reset_hparams(2)
+    assert tr._root_freeze_epoch
+    assert tr._extras_scalars(0.5, 0)["root_update"] == 0.0
+    # healthy occupancy -> no freeze
+    tr.mesh_rest = Mesh(vertices=np.zeros((200, 3), np.float32))
+    tr.mesh_rest.frac_occupied = 0.10
+    tr.reset_hparams(2)
+    assert not tr._root_freeze_epoch
+    assert tr._extras_scalars(0.5, 0)["root_update"] == 1.0
+    # collapse below half the running max -> freeze again
+    tr.mesh_rest.frac_occupied = 0.04
+    tr.reset_hparams(2)
+    assert tr._root_freeze_epoch
+    # disabled flag -> never freezes
+    tr.cfg = tr.cfg.replace(root_stab_density=False)
+    tr.reset_hparams(2)
+    assert not tr._root_freeze_epoch
