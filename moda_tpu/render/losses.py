@@ -253,6 +253,9 @@ def total_loss(
     # displacement-field regularization
     if "dis_reg" in rendered:
         total = total + rendered["dis_reg"].mean()
+    if "dis_reg_forward" in rendered:
+        # forward-displacement regularizer (moda.py:662-664)
+        total = total + rendered["dis_reg_forward"].mean()
 
     # root pose smoothness
     if cfg.root_sm:

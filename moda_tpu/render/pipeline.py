@@ -96,8 +96,14 @@ def _backward_warp(model, params, rays, xyz, time_embedded, alpha, use_dskin=Fal
     return xyz_c, skin_bw, dis
 
 
-def _forward_warp(model, params, rays, xyz_c, bone_rts, rest_code, alpha, use_dskin=False):
-    """Canonical -> frame with forward skinning (skin at rest pose)."""
+def _forward_warp(model, params, rays, xyz_c, bone_rts, rest_code, alpha,
+                  use_dskin=False, use_dis=True):
+    """Canonical -> frame with forward skinning (skin at rest pose).
+
+    use_dis: apply the displacement field before the forward blend
+    (geom_utils.py:424-429). The reprojection path must NOT: the
+    reference's kp_reproj calls neu_dbs without nerf_dis
+    (loss_utils.py:253-259). Returns (xyz_frame, skin_fw, dis)."""
     cfg = model.cfg
     bones_rst = rays["bones_rst"]
     skin_aux = params["skin_aux"]
@@ -107,7 +113,7 @@ def _forward_warp(model, params, rays, xyz_c, bone_rts, rest_code, alpha, use_ds
                                  embed_raw=True, embed_alpha=alpha)
 
     dis = None
-    if cfg.nerf_dis:
+    if cfg.nerf_dis and use_dis:
         dis = model.apply_dis(params, xyz_c, code_trunk=rest_code,
                               embed_raw=True, embed_alpha=alpha)
     skin_fw = SK.skinning_weights(bones_rst, xyz_c, dskin, skin_aux[0])
@@ -116,7 +122,7 @@ def _forward_warp(model, params, rays, xyz_c, bone_rts, rest_code, alpha, use_ds
         xyz_f, _ = SK.neu_dbs(bones_rst, bone_rts, skin_fw, xyz_c, dis=dis, backward=False)
     else:
         xyz_f, _ = SK.lbs(bones_rst, bone_rts, skin_fw, xyz_c, backward=False)
-    return xyz_f, skin_fw
+    return xyz_f, skin_fw, dis
 
 
 def _project_with_rtk_vec(xyz: jnp.ndarray, rtk_vec: jnp.ndarray):
@@ -266,8 +272,10 @@ def kp_reproj(model, params, rays, pts_pred, to_target: bool, embed_alpha=None,
         bone_rts = rays["bone_rts_target"] if to_target else rays["bone_rts"]
         rest_code = rays["rest_pose_code"]
         rest_code_b = jnp.broadcast_to(rest_code, (xyz.shape[0], rest_code.shape[-1]))
-        xyz, _ = _forward_warp(model, params, rays, xyz, bone_rts, rest_code_b, embed_alpha,
-                               use_dskin=use_dskin)
+        # use_dis=False: the reference's kp_reproj forward-warps WITHOUT the
+        # displacement field (loss_utils.py:253-259)
+        xyz, _, _ = _forward_warp(model, params, rays, xyz, bone_rts, rest_code_b, embed_alpha,
+                                  use_dskin=use_dskin, use_dis=False)
     rtk_vec = rays["rtk_vec_target"] if to_target else rays["rtk_vec"]
     return _project_with_rtk_vec(xyz, rtk_vec)
 
@@ -313,14 +321,22 @@ def inference_deform(model, params, mvars, rays, xyz_sampled, z_vals, key, cfg,
         if fine_iter:
             rest_code = jnp.broadcast_to(
                 rays["rest_pose_code"], (R, rays["rest_pose_code"].shape[-1]))
-            xyz_cyc, skin_fw = _forward_warp(
+            xyz_cyc, skin_fw, dis_fw = _forward_warp(
                 model, params, rays, xyz_canonical, rays["bone_rts"], rest_code, alpha, use_dskin=use_dskin)
             result["frame_cyc_dis_raw"] = Q.safe_norm(xyz_coarse_frame - xyz_cyc)
+            if cfg.nerf_dis and dis_fw is not None:
+                # forward-displacement regularizer (rendering.py:341-342;
+                # weighted into the total loss at moda.py:662-664)
+                result["dis_reg_forward"] = Q.safe_norm(dis_fw)
             if cfg.dist_corresp and "bone_rts_target" in rays:
                 if cfg.neudbs:
+                    # the target warp re-applies the rest-code displacement
+                    # before the blend (rendering.py:344-351 passes nerf_dis;
+                    # the reference recomputes xyz_dis at the same canonical
+                    # points with the same rest code — identical to dis_fw)
                     xyz_coarse_target, _ = SK.neu_dbs(
                         rays["bones_rst"], rays["bone_rts_target"], skin_fw,
-                        xyz_canonical, backward=False)
+                        xyz_canonical, dis=dis_fw, backward=False)
                 else:
                     xyz_coarse_target, _ = SK.lbs(
                         rays["bones_rst"], rays["bone_rts_target"], skin_fw,

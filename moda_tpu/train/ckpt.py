@@ -50,7 +50,9 @@ def _unflatten(flat: Dict[str, np.ndarray]):
 def save_checkpoint(path: str, params, latest_vars: Dict[str, Any],
                     mvars_dict: Dict[str, np.ndarray], meta: Optional[Dict] = None):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    flat = _flatten(params)
+    # one batched device->host transfer for the whole pytree: per-leaf
+    # np.asarray pays a tunnel round-trip per array (5+ s/epoch measured)
+    flat = _flatten(jax.device_get(params))
     np.savez(path + ".params.npz", **flat)
     lv = {k: np.asarray(v) for k, v in latest_vars.items()
           if isinstance(v, np.ndarray) or np.isscalar(v)}
@@ -59,6 +61,16 @@ def save_checkpoint(path: str, params, latest_vars: Dict[str, Any],
     if meta is not None:
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)
+
+
+def copy_checkpoint(src: str, dst: str):
+    """Duplicate a just-written checkpoint under another tag (the epoch loop
+    saves 'latest' + str(epoch+1) with identical contents every epoch,
+    train_utils.py:728-729 — a file copy skips the second device fetch)."""
+    import shutil
+    for suffix in (".params.npz", ".vars.npz", ".mvars.npz", ".meta.json"):
+        if os.path.exists(src + suffix):
+            shutil.copyfile(src + suffix, dst + suffix)
 
 
 def load_checkpoint(path: str):

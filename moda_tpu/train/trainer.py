@@ -543,7 +543,8 @@ class Trainer:
             self.train_one_epoch(epoch, shape_samp, shape_samp_valid)
             t_save0 = time.time()
             self.save("latest")
-            self.save(str(epoch + 1))
+            CK.copy_checkpoint(os.path.join(self.save_dir, "latest"),
+                               os.path.join(self.save_dir, str(epoch + 1)))
             t_save = time.time() - t_save0
             render_now = (epoch in (0, cfg.num_epochs // 2, cfg.num_epochs - 1)
                           or (cfg.num_epochs >= 20

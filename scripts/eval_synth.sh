@@ -13,20 +13,25 @@ ep2=${3:-30}
 ep3=${4:-120}
 batch_size=${BATCH_SIZE:-256}
 img_size=${IMG_SIZE:-256}
+# SEED env var: PRNG seed for the whole recipe; lognames get a -sN suffix
+# so multi-seed studies don't collide (reference fixes seed 0, main.py:31).
+seed=${SEED:-0}
+seedtag=""
+if [ "$seed" != "0" ]; then seedtag="-s$seed"; fi
 
 if [ ! -d database/DAVIS/JPEGImages/Full-Resolution/$seqname ]; then
   python tools/make_synth_dataset.py --out database/DAVIS --seqname $seqname \
       --scene mesh --img_size $img_size --num_frames 48 --lines
 fi
 
-model_prefix=$seqname-e$ep1-b$batch_size
+model_prefix=$seqname-e$ep1-b$batch_size$seedtag
 # GT cameras as fixed priors (use_cam: root MLP learns so3/trans deltas on
 # them, moda.py:1430-1443) — the known-camera route for synthetic-GT data;
 # free-camera optimization on monocular footage has a scale gauge freedom
 # that needs the posenet+real-video regime to stay pinned.
 common="--seqname $seqname --lineload --batch_size $batch_size \
   --img_size $img_size --nouse_human --nosymm_shape --use_rtk_file --use_cam \
-  ${EXTRA_FLAGS:-}"
+  --seed $seed ${EXTRA_FLAGS:-}"
 
 # stage 1: init (GT-camera init standing in for the posenet route)
 savename=${model_prefix}-init

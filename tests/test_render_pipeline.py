@@ -269,6 +269,7 @@ def _pallas_parity_case(rng, monkeypatch, *, cfg_kw, nsample, nsample_active,
                 atol=2e-3, err_msg=f"{comp}{jax.tree_util.keystr(k)}")
 
 
+@pytest.mark.slow
 def test_pallas_route_parity_ft2(rng, monkeypatch):
     """ft2 stage shape: use_unc + fine pass + active sampling + delta-skin
     (bench.py make_stage('ft2'))."""
