@@ -22,6 +22,22 @@ _FEAT_BANK = (_FEAT_BANK / np.linalg.norm(_FEAT_BANK, axis=-1, keepdims=True)
               * np.linspace(0.7, 2.3, 8)[:, None]).astype(np.float32)
 
 
+def feat_bank_encode(n: np.ndarray) -> np.ndarray:
+    """Unit directions [..., 3] -> 16-d unit features via the FIXED bank.
+
+    This is the fixture's CSE stand-in feature language. The trainer's
+    default sphere prior uses the SAME encoder (trainer.py __init__) so
+    the pose-CNN warmup trains on the features the fixture's frames
+    actually carry — the reference guarantees this consistency by
+    computing BOTH the observed features and the template-vertex
+    embeddings with one CSE model (moda.py:405-445, utils/cselib.py);
+    round-5 forensics: with mismatched encoders the CNN predicts a
+    near-constant pose and cold-start collapses to the spin gauge."""
+    proj = n @ _FEAT_BANK.T                                  # [...,8]
+    enc = np.concatenate([np.sin(np.pi * proj), np.cos(np.pi * proj)], -1)
+    return enc / np.maximum(np.linalg.norm(enc, axis=-1, keepdims=True), 1e-9)
+
+
 @dataclass
 class SynthScene:
     """Scale convention matches the reference's data normalization: the
@@ -84,10 +100,7 @@ class SynthScene:
         the stand-in: a generic random bank admits no rotation R with
         feat(Rn) == feat(n)."""
         n = pts_c / np.maximum(np.linalg.norm(pts_c, axis=-1, keepdims=True), 1e-9)
-        bank = _FEAT_BANK  # [8,3] fixed, seeded
-        proj = n @ bank.T                                        # [...,8]
-        enc = np.concatenate([np.sin(np.pi * proj), np.cos(np.pi * proj)], -1)
-        return enc / np.maximum(np.linalg.norm(enc, axis=-1, keepdims=True), 1e-9)
+        return feat_bank_encode(n)
 
     def render_frame(self, i: int) -> Dict[str, np.ndarray]:
         """Sphere-trace frame i; returns img/mask/hit 3D points (object coords)."""

@@ -209,19 +209,31 @@ def _net_forward(xe, ct_code, cd_code, ws, arch: Arch, cdt, want_acts=False):
     return out, (acts if want_acts else None)
 
 
-def _net_backward(xe, ct_code, cd_code, ws, g, arch: Arch, cdt):
+def _net_backward(xe, ct_code, cd_code, ws, g, arch: Arch, cdt, acts=None):
     """VJP of one net's stack wrt (pre-embedded input, codes, weights).
 
     Returns (d_xe [BN, in_x], d_ct [BR,1,ct]|None, d_cd [BR,1,cd]|None,
-    dws list). Activations are rematerialized here (VMEM, bf16)."""
+    dws list). acts=None: activations are rematerialized here (VMEM,
+    bf16). acts given (MODA_PALLAS_STASH=1 route): the forward stashed
+    them to HBM in cdt and the recompute is skipped — the measured
+    experiment behind BASELINE.md's remat-vs-stash section."""
     D, skips = arch.D, arch.skips
-    out_fb, acts = _net_forward(xe, ct_code, cd_code, ws, arch, cdt,
-                                want_acts=True)
+    if acts is None:
+        out_fb, acts = _net_forward(xe, ct_code, cd_code, ws, arch, cdt,
+                                    want_acts=True)
+    else:
+        out_fb = None
     h_trunk, hd_in, hd = acts[D], acts[D + 1], acts[D + 2]
     out_ch = g.shape[1] - (0 if arch.drop_sigma else 1)
     d_out = g[:, :out_ch]
     if arch.sigmoid:
-        s = out_fb[:, :out_ch]  # forward recompute already applied sigmoid
+        if out_fb is None:
+            # stash route: re-derive the sigmoid output from the stashed
+            # last hidden layer (one [BN, W_dir] x [W_dir, out] matmul)
+            rgb = _mm(hd, ws[2 * D + 6], cdt) + ws[2 * D + 7]
+            s = jax.nn.sigmoid(rgb)
+        else:
+            s = out_fb[:, :out_ch]  # forward recompute already applied sigmoid
         d_out = d_out * s * (1.0 - s)
     d_sigma = None if arch.drop_sigma else g[:, out_ch:]
     tin = arch.in_x + arch.ct  # trunk input width
@@ -300,7 +312,33 @@ def _split_ws(ws, archs):
     return out
 
 
-def _fwd_kernel(archs, cdt, *refs):
+def _stash() -> bool:
+    """MODA_PALLAS_STASH=1: forward kernels write the activation stack to
+    HBM (in cdt) and the backward reads it instead of recomputing — the
+    stash-vs-remat experiment (VERDICT r4 #4a). Read at trace time; both
+    vjp halves trace together so the choice is consistent."""
+    import os
+    return os.environ.get("MODA_PALLAS_STASH") == "1"
+
+
+def _act_widths(arch: Arch, ws):
+    """Feature widths of the D+3 stashed activation tensors, read off the
+    weight shapes (each act is the input of a known matmul)."""
+    D = arch.D
+    return [ws[2 * i].shape[0] for i in range(D)] + [
+        ws[2 * D + 2].shape[0], ws[2 * D + 4].shape[0],
+        ws[2 * D + 6].shape[0]]
+
+
+def _split_acts(flat, widths):
+    out, o = [], 0
+    for w in widths:
+        out.append(flat[:, o:o + w])
+        o += w
+    return out
+
+
+def _fwd_kernel(archs, cdt, stash, *refs):
     a0 = archs[0]
     has_ct = any(a.ct for a in archs)
     has_cd = any(a.cd for a in archs)
@@ -318,19 +356,24 @@ def _fwd_kernel(archs, cdt, *refs):
         win = refs[i][:]; i += 1
     nw = sum(a.nw for a in archs)
     ws = [r[:] for r in refs[i:i + nw]]
-    out_refs = refs[i + nw:]
+    out_refs = refs[i + nw:i + nw + len(archs)]
+    act_refs = refs[i + nw + len(archs):]  # stash route only
     if a0.emb:
         xe, _, _ = _embed_block(x, wemb, win, a0)
     else:
         xe = x
-    for a, ws_i, oref in zip(archs, _split_ws(ws, archs), out_refs):
-        out, _ = _net_forward(xe, ct_code if a.ct else None,
-                              cd_code if a.cd else None, ws_i, a, cdt)
+    for k, (a, ws_i, oref) in enumerate(
+            zip(archs, _split_ws(ws, archs), out_refs)):
+        out, acts = _net_forward(xe, ct_code if a.ct else None,
+                                 cd_code if a.cd else None, ws_i, a, cdt,
+                                 want_acts=stash)
         oref[:] = out
+        if stash:
+            act_refs[k][:] = jnp.concatenate(acts, -1)
 
 
-def _bwd_kernel(archs, cdt, *refs):
-    """inputs: x, [ct], [cd], [wemb, win], g*, w*
+def _bwd_kernel(archs, cdt, stash, *refs):
+    """inputs: x, [ct], [cd], [wemb, win], g*, w*, [acts* (stash)]
     outputs: [dx], [dct], [dcd], [dwin], dw*"""
     a0 = archs[0]
     has_ct = any(a.ct for a in archs)
@@ -352,6 +395,12 @@ def _bwd_kernel(archs, cdt, *refs):
     nw = sum(a.nw for a in archs)
     ws = [r[:] for r in refs[i:i + nw]]
     i += nw
+    per_net_ws = _split_ws(ws, archs)
+    acts_per_net = [None] * len(archs)
+    if stash:
+        for k, (a, ws_i) in enumerate(zip(archs, per_net_ws)):
+            acts_per_net[k] = _split_acts(refs[i][:], _act_widths(a, ws_i))
+            i += 1
     outs = refs[i:]
     oi = 0
     dx_ref = dct_ref = dcd_ref = dwin_ref = None
@@ -373,10 +422,10 @@ def _bwd_kernel(archs, cdt, *refs):
     d_xe = None
     d_ct_tot = d_cd_tot = None
     dws_all = []
-    for a, ws_i, g in zip(archs, _split_ws(ws, archs), gs):
+    for a, ws_i, g, acts_i in zip(archs, per_net_ws, gs, acts_per_net):
         d_xe_i, d_ct_i, d_cd_i, dws_i = _net_backward(
             xe, ct_code if a.ct else None, cd_code if a.cd else None,
-            ws_i, g, a, cdt)
+            ws_i, g, a, cdt, acts=acts_i)
         d_xe = d_xe_i if d_xe is None else d_xe + d_xe_i
         if d_ct_i is not None:
             d_ct_tot = d_ct_i if d_ct_tot is None else d_ct_tot + d_ct_i
@@ -488,7 +537,8 @@ def _code_operands(code, c, BR, in_specs, args):
     args.append(cp.reshape(-1, 1, c))
 
 
-def _call_fwd(x, ct_code, cd_code, win, weights, archs, BR, cdt):
+def _call_fwd(x, ct_code, cd_code, win, weights, archs, BR, cdt,
+              stash=False):
     a0 = archs[0]
     S = a0.S
     xp, n = _pad_rows(x, BR * S)
@@ -512,50 +562,92 @@ def _call_fwd(x, ct_code, cd_code, win, weights, archs, BR, cdt):
     out_specs = [pl.BlockSpec((BR * S, _out_dim(a, w)), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
                  for a, w in zip(archs, per_net_ws)]
+    if stash:
+        for a, w in zip(archs, per_net_ws):
+            tw = sum(_act_widths(a, w))
+            out_shapes.append(jax.ShapeDtypeStruct((N, tw), cdt))
+            out_specs.append(pl.BlockSpec((BR * S, tw), lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, archs, cdt),
+        functools.partial(_fwd_kernel, archs, cdt, stash),
         out_shape=out_shapes,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=_interpret(),
     )(*args, *_cast_kernels(weights, cdt))
-    return tuple(o[:n] for o in outs)
+    acts = tuple(outs[len(archs):]) if stash else None  # padded to N rows
+    return tuple(o[:n] for o in outs[:len(archs)]), acts
 
 
 def _fused_mlp_fwd(x, ct_code, cd_code, win, weights, archs, block_rays,
                    block_rays_bwd, cdt):
-    out = _call_fwd(x, ct_code, cd_code, win, weights, archs, block_rays, cdt)
-    return out, (x, ct_code, cd_code, win, weights)
+    out, acts = _call_fwd(x, ct_code, cd_code, win, weights, archs,
+                          block_rays, cdt, stash=_stash())
+    return out, (x, ct_code, cd_code, win, weights, acts)
 
 
 def _fused_mlp_bwd(archs, block_rays, block_rays_bwd, cdt, res, gs):
-    x, ct_code, cd_code, win, weights = res
+    x, ct_code, cd_code, win, weights, acts = res
+    stash = acts is not None
     a0 = archs[0]
     BR = block_rays_bwd
     S = a0.S
     xp, n = _pad_rows(x, BR * S)
+    if stash and acts[0].shape[0] > xp.shape[0]:
+        # the forward padded to its (larger) block multiple; match it so
+        # the stashed rows line up block-for-block (bwd blocks divide fwd
+        # blocks by the _block_policy power-of-two invariant)
+        xp, _ = _pad_rows(
+            jnp.concatenate([xp, jnp.zeros(
+                (acts[0].shape[0] - xp.shape[0], x.shape[1]), x.dtype)], 0),
+            BR * S)
     N = xp.shape[0]
     R = N // S
     grid = (N // (BR * S),)
+
+    def _pad_pts(arr):
+        p, _ = _pad_rows(arr, BR * S)
+        if p.shape[0] < N:
+            p = jnp.concatenate(
+                [p, jnp.zeros((N - p.shape[0],) + p.shape[1:], p.dtype)], 0)
+        return p
+
+    def _pad_ray_rows(arr3):  # padded [R?,1,c] -> fwd-matched [R,1,c]
+        if arr3.shape[0] < R:
+            arr3 = jnp.concatenate(
+                [arr3, jnp.zeros((R - arr3.shape[0], 1, arr3.shape[2]),
+                                 arr3.dtype)], 0)
+        return arr3
 
     in_specs = [pl.BlockSpec((BR * S, x.shape[1]), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
     args = [xp]
     if ct_code is not None:
         _code_operands(ct_code, ct_code.shape[-1], BR, in_specs, args)
+        if stash:
+            args[-1] = _pad_ray_rows(args[-1])
     if cd_code is not None:
         _code_operands(cd_code, cd_code.shape[-1], BR, in_specs, args)
+        if stash:
+            args[-1] = _pad_ray_rows(args[-1])
     if a0.emb:
         especs, eargs = _emb_operands(a0, win)
         in_specs += especs
         args += eargs
     for g in gs:
-        gp, _ = _pad_rows(g, BR * S)
+        gp = _pad_pts(g)
         in_specs.append(pl.BlockSpec((BR * S, g.shape[1]), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
         args.append(gp)
     in_specs += _w_specs(weights)
+    tail = ()  # operands appended AFTER the weights (order must match specs)
+    if stash:
+        for ac in acts:
+            in_specs.append(pl.BlockSpec((BR * S, ac.shape[1]),
+                                         lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM))
+        tail = acts
 
     out_shapes, out_specs = [], []
     if a0.need_dx:
@@ -581,13 +673,13 @@ def _fused_mlp_bwd(archs, block_rays, block_rays_bwd, cdt, res, gs):
     out_specs += _w_specs(weights)
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, archs, cdt),
+        functools.partial(_bwd_kernel, archs, cdt, stash),
         out_shape=out_shapes,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=_interpret(),
-    )(*args, *_cast_kernels(weights, cdt))
+    )(*args, *_cast_kernels(weights, cdt), *tail)
 
     oi = 0
     if a0.need_dx:
@@ -623,6 +715,10 @@ def _block_policy(W, any_code):
     # 2048 (vis 0.98 ms @2048 vs 1.43 @3072 — double-buffer DMA stops
     # overlapping once the block exceeds ~0.5 MB input)
     bp = 2048
+    if _stash():
+        # stash route: the fwd also holds the [bp, sum(act widths)] output
+        # block (~2.6k cdt features for the trunk) — shrink to fit VMEM
+        bp = 512 if W >= 256 else 1024
     if W >= 256:
         bpb = 512  # 1024 exceeds VMEM (remat stack)
     elif W > 64 or any_code:

@@ -110,15 +110,18 @@ class Trainer:
         # mesh_material pkl can be injected via load_prior_mesh(); default
         # is an icosphere with direction-coded surface embeddings.
         if prior_verts is None:
+            from moda_tpu.data.synthetic import feat_bank_encode
             from moda_tpu.viz.render_vis import unit_sphere
             sv, sf = unit_sphere(2)
             prior_verts = sv.astype(np.float32)
             self.prior_faces = sf
-            freqs = np.arange(1, 4)[:, None]
-            enc = np.concatenate([
-                np.sin(freqs * np.pi * sv[:, None, :]),
-                np.cos(freqs * np.pi * sv[:, None, :])], 1).reshape(len(sv), 18)[:, :16]
-            self.prior_embeds = (enc / np.linalg.norm(enc, -1, keepdims=True)).astype(np.float32)
+            # the SAME direction-bank encoder the synthetic fixture uses
+            # for its observed dp features: the pose CNN must train and
+            # infer in one feature language (see feat_bank_encode; the
+            # old per-axis sin/cos here was both rotation-symmetric AND
+            # mismatched with the fixture after the round-4 fixture fix —
+            # either alone collapses the cold-start camera init)
+            self.prior_embeds = feat_bank_encode(sv).astype(np.float32)
         else:
             self.prior_faces = np.zeros((0, 3), np.int32)
             self.prior_embeds = np.zeros((len(prior_verts), 16), np.float32)
@@ -328,7 +331,10 @@ class Trainer:
 
     def load_prior_mesh(self, pkl_path: str):
         """Load a reference-format canonical mesh pkl ({'vertices','faces'})
-        as the shape/pose prior (moda.py:409-434)."""
+        as the shape/pose prior (moda.py:409-434). An optional
+        'embeddings' [V,16] entry carries the per-vertex surface
+        embeddings (the reference computes them with the CSE model,
+        moda.py:440-445; preproc/cse_infer.py produces the same)."""
         import pickle
         with open(pkl_path, "rb") as f:
             dp = pickle.load(f)
@@ -336,7 +342,10 @@ class Trainer:
         v = v - v.mean(0, keepdims=True)
         self.prior_verts_unit = v / np.abs(v).max()
         self.prior_faces = np.asarray(dp["faces"], np.int32)
-        self.prior_embeds = np.zeros((len(v), 16), np.float32)
+        if dp.get("embeddings") is not None:
+            self.prior_embeds = np.asarray(dp["embeddings"], np.float32)
+        else:
+            self.prior_embeds = np.zeros((len(v), 16), np.float32)
 
     def warmup_pose(self, num_epochs: int):
         """Train the pose CNN on rasterized prior-mesh features, then
@@ -346,14 +355,23 @@ class Trainer:
         from moda_tpu.train.warmup_pose import PoseWarmup
         nf = np.asarray(self.mvars.near_far)
         d_mean = float(nf.mean()) * self.model.obj_scale
+        # full reference budget: warmup_pose_ep epochs x 200 iterations
+        # (train_utils.py:878 `self.dataloader = range(200)`); the r4 //10
+        # shortcut left the CNN at 0.84 rad mean rotation error — useless
+        # as a camera init
+        steps = num_epochs * ITERS_PER_EPOCH
         w = PoseWarmup(self.prior_verts_unit, self.prior_faces, self.prior_embeds,
-                       d_mean=d_mean)
+                       d_mean=d_mean, total_steps=steps)
         if self.cfg.pose_cnn_path and os.path.exists(self.cfg.pose_cnn_path):
             # pretrained pose CNN route (template.sh --pose_cnn_path)
             w.load(self.cfg.pose_cnn_path)
         else:
-            losses = w.train(steps=num_epochs * ITERS_PER_EPOCH // 10, bs=8)
-            self._log({"warmup_pose_rot_loss": float(np.mean(losses[-5:]))})
+            losses = w.train(steps=steps, bs=16)
+            self._log({"warmup_pose_rot_loss": float(np.mean(losses[-5:])),
+                       "warmup_pose_rot_loss_t": [
+                           round(float(np.mean(losses[max(0, i - 5):i + 1])), 4)
+                           for i in range(0, len(losses),
+                                          max(1, len(losses) // 20))]})
             if jax.process_index() == 0:
                 w.save(os.path.join(self.save_dir, "pose_cnn.npz"))
         self.pose_cnn = w

@@ -82,14 +82,19 @@ def render_pose_batch(verts: np.ndarray, faces: np.ndarray, embeds: np.ndarray,
 
 class PoseWarmup:
     def __init__(self, verts: np.ndarray, faces: np.ndarray, embeds: np.ndarray,
-                 d_mean: float, lr: float = 1e-4, seed: int = 0):
+                 d_mean: float, lr: float = 3e-4, seed: int = 0,
+                 total_steps: int = 2000):
         self.verts, self.faces, self.embeds = verts, faces, embeds
         self.d_mean = d_mean
         self.net = PoseCNN()
         self.rng = np.random.default_rng(seed)
         self.params = self.net.init(jax.random.key(seed),
                                     jnp.zeros((1, CROP, CROP, embeds.shape[1])))["params"]
-        self.opt = optax.adamw(lr, weight_decay=1e-4)
+        # cosine decay over the full warmup (the reference reuses its
+        # OneCycle init_training for the warmup phase, train_utils.py:886)
+        self.opt = optax.adamw(
+            optax.cosine_decay_schedule(lr, max(total_steps, 1), alpha=0.05),
+            weight_decay=1e-4)
         self.opt_state = self.opt.init(self.params)
 
         @jax.jit
@@ -109,14 +114,18 @@ class PoseWarmup:
         self._step = step
 
     def train(self, steps: int, bs: int = 16, log_every: int = 50):
-        losses = []
+        # dispatch-async loop: the host rasterizes batch i+1 while the
+        # device runs step i; forcing rot to a python float every step
+        # serializes on the remote-TPU tunnel round trip (~0.5 s/step —
+        # the r4 warmup budget was cut 10x to hide exactly this cost)
+        rots = []
         for i in range(steps):
             feats, rtk = render_pose_batch(self.verts, self.faces, self.embeds,
                                            self.d_mean, bs, self.rng)
             self.params, self.opt_state, rot = self._step(
                 self.params, self.opt_state, jnp.asarray(feats), jnp.asarray(rtk))
-            losses.append(float(rot))
-        return losses
+            rots.append(rot)
+        return [float(r) for r in rots]
 
     def save(self, path: str):
         """Persist the pose CNN (pose_cnn_path artifact equivalent)."""
