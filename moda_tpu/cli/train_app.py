@@ -91,6 +91,11 @@ def main(argv=None):
     trainer = Trainer(cfg, info, loader=loader, eval_datasets=eval_datasets,
                       seed=cfg.seed)
 
+    # canonical template prior (the reference's mesh_material CSE template,
+    # moda.py:405-445): verts/faces [+ per-vertex 'embeddings'] pkl
+    if cfg.prior_mesh_path:
+        trainer.load_prior_mesh(cfg.prior_mesh_path)
+
     # camera initialization: rtk files on disk (use_rtk_file / posenet export)
     if cfg.use_rtk_file or cfg.rtk_path:
         rtks = []

@@ -28,6 +28,9 @@ class MoDAConfig:
     checkpoint_dir: str = "logdir/"
     model_path: str = ""
     pose_cnn_path: str = ""
+    # canonical template mesh pkl {'vertices','faces'[,'embeddings']}: the
+    # reference's mesh_material CSE template (moda.py:405-445)
+    prior_mesh_path: str = ""
     rtk_path: str = ""
     config_dir: str = "configs"
     lineload: bool = False

@@ -39,8 +39,12 @@ score () {
     | tee logdir/$savename-rooteval.json
 }
 
+prior=database/DAVIS/Densepose/Full-Resolution/$seqname/prior.pkl
+priorflag=""
+if [ -f "$prior" ]; then priorflag="--prior_mesh_path $prior"; fi
+
 common="--seqname $seqname --lineload --batch_size $batch_size \
-  --img_size $img_size --nouse_human --nosymm_shape ${EXTRA_FLAGS:-}"
+  --img_size $img_size --nouse_human --nosymm_shape $priorflag ${EXTRA_FLAGS:-}"
 
 # stage 1: init — no --use_rtk_file / --use_cam: cameras come from the
 # pose-CNN route (warmup_pose + extract_cams_cnn + warmup_rootmlp preset)

@@ -68,3 +68,29 @@ def test_make_batch_layout(scene):
     assert batch["imgs"].shape == (4, 3, P)
     assert batch["dp_feats"].shape == (4, 16, P)
     assert batch["frameid"].tolist() == [0, 2, 1, 3]
+
+
+def test_feature_language_matches_trainer_prior(scene):
+    """The fixture's observed CSE stand-in features and the trainer's
+    default sphere-prior embeddings must come from the SAME encoder
+    (feat_bank_encode): the reference guarantees this by computing both
+    observed features and template embeddings with one CSE model
+    (moda.py:405-445). Round-5 forensics: a mismatch made the pose-CNN
+    warmup train in one feature language and infer in another — the
+    extracted init cameras came out near-constant and cold-start
+    collapsed to the spin gauge (86.5 deg rooteval median)."""
+    from moda_tpu.data.synthetic import feat_bank_encode
+
+    n = scene.vert_feats
+    v = scene.rest_verts if hasattr(scene, "rest_verts") else None
+    # reconstruct from canonical directions of the rest mesh via the
+    # public API: surface_feat must BE feat_bank_encode(direction)
+    pts = np.asarray([[0.3, 0.1, -0.2], [0.0, 0.4, 0.1], [-0.2, -0.3, 0.3]])
+    want = feat_bank_encode(pts / np.linalg.norm(pts, axis=-1, keepdims=True))
+    np.testing.assert_allclose(scene.surface_feat(pts), want, atol=1e-6)
+    # and the encoder must have no rotational symmetry: a 120-deg yaw
+    # changes the field (the old per-axis encoding was invariant)
+    c, s = np.cos(2 * np.pi / 3), np.sin(2 * np.pi / 3)
+    R = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    d = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+    assert np.abs(feat_bank_encode(d @ R.T) - feat_bank_encode(d)).max() > 0.05

@@ -63,18 +63,43 @@ def main():
 
     frames = [scene.render_frame(i) for i in range(args.num_frames)]
     S = args.img_size
+
+    # canonical template prior with per-vertex surface embeddings — the
+    # fixture's analogue of the reference's mesh_material CSE template
+    # (moda.py:405-445 + cselib mesh_vertex_embeddings). Consumed via
+    # --prior_mesh_path by the pose-CNN warmup (no-prior route).
+    if hasattr(scene, "rest_verts"):
+        import pickle
+        prior = {"vertices": scene.rest_verts, "faces": scene.faces,
+                 "embeddings": scene.vert_feats}
+        with open(os.path.join(dp_dir, "prior.pkl"), "wb") as fpk:
+            pickle.dump(prior, fpk)
     for i, f in enumerate(frames):
         cv2.imwrite(os.path.join(img_dir, "%05d.jpg" % i),
                     (f["img"][..., ::-1] * 255).astype(np.uint8))
         cv2.imwrite(os.path.join(ann_dir, "%05d.png" % i),
                     (f["mask"] * 128).astype(np.uint8))
         np.savetxt(os.path.join(cam_dir, "%05d.txt" % i), f["rtk"])
-        # CSE-style artifacts from the analytic features
-        feat112 = cv2.resize(f["feat"], (112, 112)).transpose(2, 0, 1)
+        # CSE-style artifacts from the analytic features. The 112x112 feat
+        # pfm is a TIGHT object-bbox crop, exactly like the reference's
+        # compute_dp.py output (the detection-box crop): the pose CNN both
+        # trains on and consumes bbox crops (render_pose_batch), and
+        # resample_dp_np maps the crop back through dp_bbox [x0,y0,x1,y1].
+        # Writing the full frame here put extract_cams_cnn's inputs far
+        # outside the CNN's training distribution (round-5 forensics:
+        # near-constant pose predictions, spin-gauge collapse).
+        ys, xs = np.where(f["mask"] > 0)
+        if len(xs) >= 4:
+            bx0, bx1 = int(xs.min()), int(xs.max()) + 1
+            by0, by1 = int(ys.min()), int(ys.max()) + 1
+        else:
+            bx0, by0, bx1, by1 = 0, 0, S, S
+        feat112 = cv2.resize(f["feat"][by0:by1, bx0:bx1],
+                             (112, 112)).transpose(2, 0, 1)
         write_pfm(os.path.join(dp_dir, "feat-%05d.pfm" % i),
                   feat112.reshape(16 * 112, 112))
         np.savetxt(os.path.join(dp_dir, "bbox-%05d.txt" % i),
-                   np.asarray([0, 0, S, S], np.float32))
+                   np.asarray([bx0, by0, bx1, by1], np.float32))
         write_pfm(os.path.join(dp_dir, "%05d.pfm" % i),
                   np.zeros((S, S), np.float32))
 

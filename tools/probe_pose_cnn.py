@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--bs", type=int, default=16)
     ap.add_argument("--db", default="database/DAVIS")
+    ap.add_argument("--load", default="",
+                    help="pose_cnn.npz to load instead of training")
     args = ap.parse_args()
 
     from moda_tpu.data.frames import FramePaths, FrameReader
@@ -36,14 +38,18 @@ def main():
     embeds = feat_bank_encode(sv).astype(np.float32)
     w = PoseWarmup(sv.astype(np.float32), sf, embeds, d_mean=3.0,
                    total_steps=args.steps)
-    t0 = time.time()
-    losses = w.train(steps=args.steps, bs=args.bs)
-    t_train = time.time() - t0
-    print(json.dumps({
-        "rot_loss_first50": round(float(np.mean(losses[:50])), 4),
-        "rot_loss_last50": round(float(np.mean(losses[-50:])), 4),
-        "train_s": round(t_train, 1),
-        "s_per_step": round(t_train / args.steps, 3)}))
+    if args.load:
+        w.load(args.load)
+        print(json.dumps({"loaded": args.load}))
+    else:
+        t0 = time.time()
+        losses = w.train(steps=args.steps, bs=args.bs)
+        t_train = time.time() - t0
+        print(json.dumps({
+            "rot_loss_first50": round(float(np.mean(losses[:50])), 4),
+            "rot_loss_last50": round(float(np.mean(losses[-50:])), 4),
+            "train_s": round(t_train, 1),
+            "s_per_step": round(t_train / args.steps, 3)}))
 
     # observed features exactly as extract_cams_cnn reads them
     imgs = sorted(glob.glob(
