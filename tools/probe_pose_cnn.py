@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--db", default="database/DAVIS")
     ap.add_argument("--load", default="",
                     help="pose_cnn.npz to load instead of training")
+    ap.add_argument("--prior", default="auto",
+                    help="prior.pkl path ('auto': use the fixture's template "
+                         "prior if present — the eval_synth_cnn.sh route; "
+                         "'sphere': the trainer's default sphere prior)")
     args = ap.parse_args()
 
     from moda_tpu.data.frames import FramePaths, FrameReader
@@ -34,9 +38,28 @@ def main():
     from moda_tpu.train.warmup_pose import PoseWarmup
     from moda_tpu.viz.render_vis import unit_sphere
 
-    sv, sf = unit_sphere(2)
-    embeds = feat_bank_encode(sv).astype(np.float32)
-    w = PoseWarmup(sv.astype(np.float32), sf, embeds, d_mean=3.0,
+    prior_path = args.prior
+    if prior_path == "auto":
+        cand = (f"{args.db}/Densepose/Full-Resolution/{args.seqname}/"
+                "prior.pkl")
+        import os
+        prior_path = cand if os.path.exists(cand) else "sphere"
+    if prior_path == "sphere":
+        sv, sf = unit_sphere(2)
+        sv = sv.astype(np.float32)
+        embeds = feat_bank_encode(sv).astype(np.float32)
+    else:
+        import pickle
+        with open(prior_path, "rb") as f:
+            dp = pickle.load(f)
+        sv = np.asarray(dp["vertices"], np.float32)
+        sv = sv - sv.mean(0)
+        sv = sv / np.abs(sv).max()
+        sf = np.asarray(dp["faces"], np.int32)
+        embeds = (np.asarray(dp["embeddings"], np.float32)
+                  if "embeddings" in dp else feat_bank_encode(sv))
+        print(json.dumps({"prior": prior_path, "verts": len(sv)}))
+    w = PoseWarmup(sv, sf, embeds, d_mean=3.0,
                    total_steps=args.steps)
     if args.load:
         w.load(args.load)
