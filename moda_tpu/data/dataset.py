@@ -275,6 +275,38 @@ class PairLoader:
                     raise RuntimeError(
                         "all PairLoader workers died (see tracebacks above)")
 
+    def next_chunk(self, k: int):
+        """Pre-stacked K-step dispatch chunk: ({field: [k, ...]}, fids).
+
+        The stacking of k batches (~100 ms of numpy per chunk on a 1-vCPU
+        host) runs in a dedicated assembler thread, overlapped with the
+        main thread's device wait — the trainer's K-chunk loop then pays
+        only the device upload on its critical path."""
+        if getattr(self, "_chunk_q", None) is None or self._chunk_k != k:
+            self._chunk_k = k
+            self._chunk_q = queue.Queue(maxsize=2)
+
+            def assemble():
+                while not self._stop.is_set():
+                    bl = [next(self) for _ in range(k)]
+                    stacked = {f: np.stack([b[f] for b in bl]) for f in bl[0]}
+                    fids = [np.asarray(b["frameid"]) for b in bl]
+                    while not self._stop.is_set():
+                        try:
+                            self._chunk_q.put((stacked, fids), timeout=1.0)
+                            break
+                        except queue.Full:
+                            continue
+
+            self._chunk_t = threading.Thread(target=assemble, daemon=True)
+            self._chunk_t.start()
+        while True:
+            try:
+                return self._chunk_q.get(timeout=5.0)
+            except queue.Empty:
+                if not self._chunk_t.is_alive():
+                    raise RuntimeError("PairLoader chunk assembler died")
+
     def __iter__(self):
         return self
 

@@ -581,6 +581,8 @@ class Trainer:
                        "root_steps_rejected": round(
                            getattr(self, "_root_rejected_ep", 0.0), 1),
                        "t_load": round(getattr(self, "_t_load_ep", 0.0), 2),
+                       "t_assemble": round(getattr(self, "_t_assemble_ep", 0.0), 2),
+                       "t_upload": round(getattr(self, "_t_upload_ep", 0.0), 2),
                        "t_dispatch": round(getattr(self, "_t_dispatch_ep", 0.0), 2)})
             self._root_rejected_ep = 0.0
 
@@ -680,6 +682,8 @@ class Trainer:
         total_iters = ITERS_PER_EPOCH * cfg.accu_steps
         self._t_load_ep = 0.0
         self._t_dispatch_ep = 0.0
+        self._t_assemble_ep = 0.0
+        self._t_upload_ep = 0.0
         for i in range(0, total_iters, K):
             self.progress = self.total_steps_done / max(self.final_steps, 1)
 
@@ -700,19 +704,25 @@ class Trainer:
                 # K chained steps per dispatch: stack K batches + the
                 # per-step schedule scalars; one upload, one dispatch, one
                 # (deferred) fetch — round trips amortized K-fold
-                scal_list, bat_list, fids = [], [], []
+                scal_list = []
                 for j in range(K):
                     prog = (self.total_steps_done + j) / max(self.final_steps, 1)
                     scal_list.append(self._extras_scalars(prog, i + j))
-                    b = next(self.loader)
-                    bat_list.append(b)
-                    fids.append(np.asarray(b["frameid"]))
                 per_step = {f: jnp.asarray(np.stack([s[f] for s in scal_list]))
                             for f in scal_list[0]}
-                batch_dev = self._upload_batch(
-                    {k: np.stack([b[k] for b in bat_list])
-                     for k in bat_list[0]}, stacked=True)
+                next_chunk = getattr(self.loader, "next_chunk", None)
+                if next_chunk is not None:
+                    stacked, fids = next_chunk(K)
+                else:
+                    bat_list = [next(self.loader) for _ in range(K)]
+                    fids = [np.asarray(b["frameid"]) for b in bat_list]
+                    stacked = {k: np.stack([b[k] for b in bat_list])
+                               for k in bat_list[0]}
+                t_up0 = time.time()
+                self._t_assemble_ep += t_up0 - t_load0
+                batch_dev = self._upload_batch(stacked, stacked=True)
                 keys = jnp.stack([self._next_key() for _ in range(K)])
+                self._t_upload_ep += time.time() - t_up0
             t_load = time.time() - t_load0
 
             t_step0 = time.time()

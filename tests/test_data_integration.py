@@ -193,3 +193,26 @@ def test_pairloader_raises_when_workers_die():
         pass
     finally:
         ld.close()
+
+
+def test_pairloader_next_chunk(davis_db):
+    """Chunk-level prefetch: next_chunk(k) returns a pre-stacked K-step
+    dispatch chunk with the same fields/shapes the trainer's K>1 path
+    builds inline, plus per-step frameid arrays for host bookkeeping."""
+    root, seq = davis_db
+    from moda_tpu.data.dataset import PairLoader, build_datasets
+
+    ds = build_datasets(seq, img_size=32, config_dir=str(root / "configs"))
+    ld = PairLoader(ds, batch_size=2, seed=3, num_threads=1, num_prefetch=2)
+    single = next(ld)
+    stacked, fids = ld.next_chunk(3)
+    assert set(stacked) == set(single)
+    for k, v in stacked.items():
+        assert v.shape == (3,) + single[k].shape, k
+    assert len(fids) == 3
+    for j, f in enumerate(fids):
+        np.testing.assert_array_equal(f, stacked["frameid"][j])
+    # a second chunk keeps flowing (assembler thread stays alive)
+    stacked2, _ = ld.next_chunk(3)
+    assert stacked2["imgs"].shape == stacked["imgs"].shape
+    ld.close()

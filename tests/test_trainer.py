@@ -229,3 +229,18 @@ def test_density_collapse_root_freeze(tmp_path):
     tr.cfg = tr.cfg.replace(root_stab_density=False)
     tr.reset_hparams(2)
     assert not tr._root_freeze_epoch
+
+
+@pytest.mark.slow
+def test_trainer_chunked_dispatch_epoch(tmp_path):
+    """The K>1 dispatch path (steps_chunk=2) through train(): per-step
+    scalars stacked, loader fallback assembly (SynthLoader has no
+    next_chunk), assemble/upload timing split logged."""
+    import json
+    scene, tr = make_trainer(tmp_path, num_epochs=1, steps_chunk=2)
+    tr.train()
+    rows = [json.loads(l) for l in open(tr.log_path)]
+    losses = [r["total_loss"] for r in rows if "total_loss" in r]
+    assert len(losses) >= 2 and np.isfinite(losses).all()
+    ep = [r for r in rows if "epoch_time" in r][-1]
+    assert "t_assemble" in ep and "t_upload" in ep
