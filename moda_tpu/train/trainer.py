@@ -522,6 +522,24 @@ class Trainer:
                 self.prior_embeds.any()
                 or (cfg.pose_cnn_path and os.path.exists(cfg.pose_cnn_path))):
             self.warmup_pose(cfg.warmup_pose_ep)
+            # The reference follows warmup_pose with extract_cams +
+            # save_cams (train_utils.py:893-921): per-frame cameras from
+            # the CNN on the observed features. Only when no cameras were
+            # installed already (the use_rtk_file route sets idk=1).
+            # Round-5 regression fix: without this call the CNN was
+            # trained, saved, and never USED — the run proceeded from
+            # identity cameras (rooteval 62-86 deg across three
+            # rehearsals while the probe showed the CNN itself at ~20).
+            if self.latest_vars["idk"].sum() == 0:
+                cam_ds = [d for d in (self.eval_datasets or [])
+                          if getattr(d, "reader", None) is not None]
+                if not cam_ds and self.loader is not None:
+                    cam_ds = [d for d in getattr(self.loader, "datasets", [])
+                              if getattr(d, "reader", None) is not None]
+                if cam_ds:
+                    rtks, valid = self.extract_cams_cnn(cam_ds)
+                    self._log({"extract_cams_valid": float(np.mean(valid)),
+                               "extract_cams_n": int(len(rtks))})
 
         if cfg.warmup_rootmlp and self.latest_vars["idk"].sum() > 0:
             self.preset_rootmlp()

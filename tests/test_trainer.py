@@ -244,3 +244,59 @@ def test_trainer_chunked_dispatch_epoch(tmp_path):
     assert len(losses) >= 2 and np.isfinite(losses).all()
     ep = [r for r in rows if "epoch_time" in r][-1]
     assert "t_assemble" in ep and "t_upload" in ep
+
+
+def test_warmup_pose_installs_cnn_cameras(tmp_path, monkeypatch):
+    """Regression (round-5 cold-start forensics): train() must follow
+    warmup_pose with extract_cams_cnn + preset_rootmlp when no cameras
+    were installed (the reference's warmup_pose -> extract_cams ->
+    warmup_rootmlp chain, train_utils.py:871-921,662-666). The broken
+    orchestration trained and saved the pose CNN but never USED it: three
+    full-budget rehearsals optimized from identity cameras (rooteval
+    62-86 deg) while the CNN itself measured ~20 deg."""
+    from types import SimpleNamespace
+    scene, tr = make_trainer(tmp_path, num_epochs=1,
+                             warmup_pose_ep=1, warmup_rootmlp=True)
+    tr.eval_datasets = [SimpleNamespace(reader=object(), num_frames=2)]
+    calls = []
+    monkeypatch.setattr(
+        Trainer, "warmup_pose",
+        lambda self, n: (calls.append("warmup"),
+                         setattr(self, "pose_cnn", object()))[0])
+
+    def fake_extract(self, ds, save=True):
+        calls.append("extract")
+        rtk = np.tile(np.eye(4, dtype=np.float32)[None],
+                      (self.data_info.num_fr, 1, 1))
+        rtk[:, 2, 3] = 3.0
+        rtk[:, 3] = np.asarray(self.data_info.intrinsics[0])
+        self.set_cameras_from_rtk_files(rtk)
+        return rtk, np.ones(len(rtk), bool)
+
+    monkeypatch.setattr(Trainer, "extract_cams_cnn", fake_extract)
+    monkeypatch.setattr(Trainer, "preset_rootmlp",
+                        lambda self: calls.append("preset"))
+    monkeypatch.setattr(Trainer, "train_one_epoch",
+                        lambda self, *a, **k: calls.append("epoch"))
+    tr.latest_vars["idk"][:] = 0  # no cameras installed (cold-start route)
+    tr.train()
+    assert calls[:3] == ["warmup", "extract", "preset"]
+
+    # and with cameras already installed (use_rtk_file route), the CNN
+    # cameras must NOT overwrite them
+    scene2, tr2 = make_trainer(tmp_path / "b", num_epochs=1,
+                               warmup_pose_ep=1, warmup_rootmlp=True)
+    tr2.eval_datasets = [SimpleNamespace(reader=object(), num_frames=2)]
+    calls2 = []
+    monkeypatch.setattr(
+        Trainer, "warmup_pose",
+        lambda self, n: (calls2.append("warmup"),
+                         setattr(self, "pose_cnn", object()))[0])
+    monkeypatch.setattr(Trainer, "extract_cams_cnn",
+                        lambda self, ds, save=True: calls2.append("extract"))
+    monkeypatch.setattr(Trainer, "preset_rootmlp",
+                        lambda self: calls2.append("preset"))
+    monkeypatch.setattr(Trainer, "train_one_epoch",
+                        lambda self, *a, **k: calls2.append("epoch"))
+    tr2.train()
+    assert "extract" not in calls2 and "preset" in calls2
